@@ -1,0 +1,24 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX import.
+
+Tests run entirely on CPU (JAX_PLATFORMS=cpu) with 8 virtual devices so all
+sharding/pjit paths exercise a real multi-device mesh without TPU hardware.
+bench.py / production entry points do NOT import this and run on the real
+chip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
