@@ -8,7 +8,8 @@ chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Overwrite unconditionally: the shell presets JAX_PLATFORMS=axon (TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
