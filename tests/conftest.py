@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The image's sitecustomize.py imports jax at interpreter start (to register
+# the axon TPU plugin), so jax cached JAX_PLATFORMS=axon before this file
+# ran — the env var alone is too late. Force the config directly.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
