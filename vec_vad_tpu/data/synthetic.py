@@ -59,8 +59,10 @@ def _make_video(
     n_obj = 2
     xs = rng.uniform(0, w - size, n_obj)
     ys = rng.uniform(0, h - size, n_obj)
-    vxs = rng.uniform(0.5, 1.5, n_obj) * rng.choice([-1, 1], n_obj)
-    vys = rng.uniform(0.2, 0.8, n_obj) * rng.choice([-1, 1], n_obj)
+    # narrow speed band: keeps normal motion statistics consistent across
+    # videos so the "normal" class is learnable from few videos
+    vxs = rng.uniform(0.9, 1.3, n_obj) * rng.choice([-1, 1], n_obj)
+    vys = rng.uniform(0.4, 0.7, n_obj) * rng.choice([-1, 1], n_obj)
     colors = [(170, 170, 170), (50, 50, 50)]
 
     boxes: List[np.ndarray] = []
@@ -68,16 +70,29 @@ def _make_video(
     for t in range(n_frames):
         frame_boxes = []
         for k in range(n_obj):
-            xs[k] = (xs[k] + vxs[k]) % (w - size)
-            ys[k] = (ys[k] + vys[k]) % (h - size)
+            # bounce off the frame edges (no teleporting wraps — a wrap
+            # would be an unpredictable event the completion model rightly
+            # flags, polluting the "normal" class)
+            xs[k] += vxs[k]
+            ys[k] += vys[k]
+            if not (0 <= xs[k] <= w - size):
+                vxs[k] = -vxs[k]
+                xs[k] = np.clip(xs[k], 0, w - size)
+            if not (0 <= ys[k] <= h - size):
+                vys[k] = -vys[k]
+                ys[k] = np.clip(ys[k], 0, h - size)
             _render_square(frames[t], xs[k], ys[k], size, colors[k])
             frame_boxes.append([xs[k], ys[k], xs[k] + size, ys[k] + size])
         if anomalous_frames is not None and anomalous_frames[0] <= t < anomalous_frames[1]:
-            # Anomaly: bright, fast, larger square — out-of-distribution both
-            # in appearance and implied motion.
-            ax = (w / 2 + 8.0 * t) % (w - 2 * size)
-            ay = (h / 2 + 5.0 * t) % (h - 2 * size)
-            _render_square(frames[t], ax, ay, 2 * size, (250, 250, 250))
+            # Anomaly: a larger square with per-frame random texture —
+            # uncompletable from temporal context by construction.
+            ax = w / 4 + (w / 3) * np.sin(t / 3.0)
+            ay = h / 4 + (h / 3) * abs(np.cos(t / 2.0))
+            ax = float(np.clip(ax, 0, w - 2 * size))
+            ay = float(np.clip(ay, 0, h - 2 * size))
+            tex = rng.integers(0, 256, (2 * size, 2 * size, 3), dtype=np.uint8)
+            x0, y0 = int(round(ax)), int(round(ay))
+            frames[t, y0 : y0 + 2 * size, x0 : x0 + 2 * size] = tex
             frame_boxes.append([ax, ay, ax + 2 * size, ay + 2 * size])
             labels[t] = 1
         boxes.append(np.array(frame_boxes, dtype=np.float32))

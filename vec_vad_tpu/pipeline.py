@@ -1,0 +1,337 @@
+"""End-to-end VAD pipeline: foreground -> cubes -> train -> score -> AUROC.
+
+Library equivalents of the reference's train.py / test.py driver scripts,
+with the per-frame Python/cv2 hot loops replaced by chunked, jitted device
+computation:
+
+  * frames live once in HBM as a (N, H, W, C) stack
+  * context windows come from the vectorized index (data.video_index)
+  * STC extraction runs as the fused crop-resize op over padded box sets
+    (ops.stc), chunk by chunk, one compiled executable
+  * block routing / motion filtering produce a flat CubeSet (the static-
+    shape analog of the reference's nested foreground_set lists,
+    train.py:103-237, test.py:129-191)
+  * training and scoring batch over the mesh (train.trainer)
+  * frame-level scores aggregate by segment max (score.scoring)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vec_vad_tpu.config import DatasetSpec, ForegroundConfig, PipelineConfig
+from vec_vad_tpu.data.video_index import VideoIndex
+from vec_vad_tpu.models.completion import make_completion_net
+from vec_vad_tpu.ops.stc import cube_to_input, extract_stc, pad_boxes
+from vec_vad_tpu.parallel.mesh import get_mesh
+from vec_vad_tpu.score.scoring import (
+    BIG_NUMBER,
+    frame_scores_from_cubes,
+    fuse_scores,
+    splat_score_masks,
+)
+from vec_vad_tpu.train.trainer import BlockTrainer, TrainedBlock
+from vec_vad_tpu.utils.blocks import calc_block_idx
+
+
+@dataclass
+class CubeSet:
+    """Flat, statically-shaped cube storage for one dataset split.
+
+    One row per (cube, routed block cell) pair — a cube routed to multiple
+    cells (block_mode > 1) appears once per cell, mirroring the reference's
+    per-cell appends (train.py:183-191)."""
+
+    raw: np.ndarray  # (M, P, P, T*3) uint8
+    flow: Optional[np.ndarray]  # (M, P, P, T_of*2) float32
+    frame_ids: np.ndarray  # (M,) int64
+    boxes: np.ndarray  # (M, 4) float32
+    cells: np.ndarray  # (M, 2) int64 (h_cell, w_cell)
+    scenes: np.ndarray  # (M,) int64, 1-based
+
+    @property
+    def size(self) -> int:
+        return self.raw.shape[0]
+
+    def select(self, idx: np.ndarray) -> "CubeSet":
+        return CubeSet(
+            raw=self.raw[idx],
+            flow=self.flow[idx] if self.flow is not None else None,
+            frame_ids=self.frame_ids[idx],
+            boxes=self.boxes[idx],
+            cells=self.cells[idx],
+            scenes=self.scenes[idx],
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size",), donate_argnums=())
+def _extract_chunk(frames_dev, windows, boxes, patch_size):
+    """(B,) frame windows -> quantized channel-stacked cubes.
+
+    frames_dev: (N, H, W, C) device-resident stack; windows: (B, T) int;
+    boxes: (B, K, 4). Returns (B, K, P, P, T*C) float32 rounded to integer
+    levels (the reference stores uint8 cubes, vad_datasets.py:77-90).
+    """
+    wins = jnp.take(frames_dev, windows, axis=0)  # (B, T, H, W, C)
+    cubes = jax.vmap(
+        lambda w, b: extract_stc(w, b, patch_size, quantize=True)
+    )(wins, boxes)
+    return cube_to_input(cubes, scale=False)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size",))
+def _extract_chunk_float(frames_dev, windows, boxes, patch_size):
+    """Float variant (flow maps): no quantization, plus per-cube motion
+    magnitude (train.py:167-178)."""
+    wins = jnp.take(frames_dev, windows, axis=0)
+    cubes = jax.vmap(
+        lambda w, b: extract_stc(w, b, patch_size, quantize=False)
+    )(wins, boxes)
+    mag = jnp.mean(
+        jnp.sum(jnp.square(cubes), axis=(-3, -2, -1)), axis=-1
+    )  # (B, K)
+    return cube_to_input(cubes, scale=False), mag
+
+
+def extract_cube_set(
+    cfg: PipelineConfig,
+    spec: DatasetSpec,
+    index: VideoIndex,
+    frames: np.ndarray,
+    boxes_list: List[np.ndarray],
+    flow_frames: Optional[np.ndarray] = None,
+    block_mode: Optional[int] = None,
+    chunk: int = 32,
+) -> CubeSet:
+    """Run the foreground-extraction stage for a whole split.
+
+    frames: (N, H, W, C) uint8; flow_frames: (N, H, W, 2) float32 or None;
+    boxes_list: ragged per-frame (K_i, 4) arrays (e.g. the shipped
+    bboxes_*.npy fixtures).
+    """
+    fc = cfg.fore
+    mc = cfg.model
+    n = index.total_frames
+    assert frames.shape[0] == n
+    block_mode = block_mode or fc.train_block_mode
+
+    boxes_pad, valid = pad_boxes(boxes_list, fc.max_boxes_per_frame)
+    raw_windows = index.context_indices(mc.context_frame_num, mc.border_mode)
+    if raw_windows.ndim == 1:
+        raw_windows = raw_windows[:, None]
+    if flow_frames is not None:
+        of_windows = index.context_indices(mc.context_of_num, mc.border_mode)
+        if of_windows.ndim == 1:
+            of_windows = of_windows[:, None]
+        flow_dev = jax.device_put(jnp.asarray(flow_frames))
+    frames_dev = jax.device_put(jnp.asarray(frames))
+
+    h_step = spec.frame_h / fc.h_block
+    w_step = spec.frame_w / fc.w_block
+    scene_idx = (
+        index.scene_idx
+        if index.scene_idx is not None
+        else np.ones(n, dtype=np.int64)
+    )
+
+    raw_rows, flow_rows = [], []
+    frame_ids, box_rows, cell_rows, scene_rows = [], [], [], []
+
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sel = np.arange(lo, hi)
+        # pad the chunk to a fixed size for a single compiled shape
+        pad = chunk - sel.size
+        sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
+        raw_cubes = np.asarray(
+            _extract_chunk(
+                frames_dev,
+                jnp.asarray(raw_windows[sel_p]),
+                jnp.asarray(boxes_pad[sel_p]),
+                fc.patch_size,
+            )
+        )[: sel.size]
+        if flow_frames is not None:
+            flow_cubes, mag = _extract_chunk_float(
+                flow_dev,
+                jnp.asarray(of_windows[sel_p]),
+                jnp.asarray(boxes_pad[sel_p]),
+                fc.patch_size,
+            )
+            flow_cubes = np.asarray(flow_cubes)[: sel.size]
+            mag = np.asarray(mag)[: sel.size]
+        else:
+            # no flow modality: motion filter passes everything
+            # (train.py:177-178)
+            mag = np.full((sel.size, fc.max_boxes_per_frame), 10000.0)
+
+        for j, f in enumerate(sel):
+            kmax = int(valid[f].sum())
+            for k in range(kmax):
+                if mag[j, k] <= fc.motion_thr:
+                    continue
+                b = boxes_pad[f, k]
+                cells = calc_block_idx(
+                    b[0], b[2], b[1], b[3], h_step, w_step, block_mode
+                )
+                for cell in cells:
+                    raw_rows.append(raw_cubes[j, k])
+                    if flow_frames is not None:
+                        flow_rows.append(flow_cubes[j, k])
+                    frame_ids.append(f)
+                    box_rows.append(b)
+                    cell_rows.append(cell)
+                    scene_rows.append(scene_idx[f])
+
+    if not raw_rows:
+        p, t = fc.patch_size, mc.tot_raw_num
+        return CubeSet(
+            raw=np.zeros((0, p, p, t * 3), np.uint8),
+            flow=None if flow_frames is None else np.zeros(
+                (0, p, p, mc.tot_of_num * 2), np.float32
+            ),
+            frame_ids=np.zeros(0, np.int64),
+            boxes=np.zeros((0, 4), np.float32),
+            cells=np.zeros((0, 2), np.int64),
+            scenes=np.zeros(0, np.int64),
+        )
+    return CubeSet(
+        raw=np.clip(np.stack(raw_rows), 0, 255).astype(np.uint8),
+        flow=np.stack(flow_rows).astype(np.float32) if flow_rows else None,
+        frame_ids=np.array(frame_ids, np.int64),
+        boxes=np.stack(box_rows).astype(np.float32),
+        cells=np.array(cell_rows, np.int64),
+        scenes=np.array(scene_rows, np.int64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+BlockKey = Tuple[int, int, int]  # (scene - 1, h_cell, w_cell)
+
+
+@dataclass
+class VadModel:
+    """Trained model grid + score statistics (the reference's model_set +
+    training_scores_set artifacts, train.py:432-436)."""
+
+    cfg: PipelineConfig
+    blocks: Dict[BlockKey, TrainedBlock] = field(default_factory=dict)
+
+
+def group_by_block(cubes: CubeSet) -> Dict[BlockKey, np.ndarray]:
+    keys = np.stack(
+        [cubes.scenes - 1, cubes.cells[:, 0], cubes.cells[:, 1]], axis=1
+    )
+    out: Dict[BlockKey, np.ndarray] = {}
+    if keys.shape[0] == 0:
+        return out
+    uniq = np.unique(keys, axis=0)
+    for row in uniq:
+        mask = np.all(keys == row, axis=1)
+        out[tuple(int(v) for v in row)] = np.nonzero(mask)[0]
+    return out
+
+
+def make_trainer(cfg: PipelineConfig, mesh=None) -> BlockTrainer:
+    mesh = mesh or get_mesh()
+    net = make_completion_net(cfg.model)
+    return BlockTrainer(net, cfg.model, mesh, cfg.fore.patch_size)
+
+
+def _to_float_raw(raw_u8: np.ndarray) -> np.ndarray:
+    """uint8 cube storage -> ToTensor-scaled [0, 1] float input
+    (vad_datasets.py:12-14)."""
+    return raw_u8.astype(np.float32) / 255.0
+
+
+def train_model(
+    cfg: PipelineConfig,
+    train_cubes: CubeSet,
+    trainer: Optional[BlockTrainer] = None,
+    seed: int = 0,
+    log_every: int = 0,
+) -> VadModel:
+    trainer = trainer or make_trainer(cfg)
+    model = VadModel(cfg=cfg)
+    for key, idx in group_by_block(train_cubes).items():
+        if idx.size <= 1:
+            # the reference skips blocks with < 2 cubes (train.py:370)
+            continue
+        raw = _to_float_raw(train_cubes.raw[idx])
+        flow = (
+            train_cubes.flow[idx] if train_cubes.flow is not None else None
+        )
+        model.blocks[key] = trainer.fit_block(
+            raw, flow, seed=seed, log_every=log_every
+        )
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Testing
+# ---------------------------------------------------------------------------
+
+
+def score_cubes(
+    model: VadModel,
+    test_cubes: CubeSet,
+    trainer: Optional[BlockTrainer] = None,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Fused, z-normalized anomaly score per test cube (test.py:269-348)."""
+    cfg = model.cfg
+    trainer = trainer or make_trainer(cfg)
+    mc = cfg.model
+    scores = np.zeros(test_cubes.size, dtype=np.float64)
+    for key, idx in group_by_block(test_cubes).items():
+        block = model.blocks.get(key)
+        if block is None:
+            # objects in a block never seen in training -> anomaly
+            # (test.py:308-310)
+            scores[idx] = big_number
+            continue
+        raw = _to_float_raw(test_cubes.raw[idx])
+        flow = test_cubes.flow[idx] if test_cubes.flow is not None else None
+        raw_sc, of_sc = trainer.score_block(block, raw, flow)
+        use_of = mc.use_flow and block.of_scores is not None
+        scores[idx] = fuse_scores(
+            raw_sc,
+            of_sc if use_of else None,
+            block.raw_stats,
+            block.of_stats if use_of else None,
+            mc.w_raw,
+            mc.w_of,
+        )
+    return scores
+
+
+def frame_level_scores(
+    cube_scores: np.ndarray,
+    test_cubes: CubeSet,
+    n_frames: int,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    return frame_scores_from_cubes(
+        cube_scores, test_cubes.frame_ids, n_frames, big_number
+    )
+
+
+def pixel_score_masks(
+    cube_scores: np.ndarray,
+    test_cubes: CubeSet,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+) -> np.ndarray:
+    return splat_score_masks(
+        cube_scores, test_cubes.boxes, test_cubes.frame_ids, n_frames, frame_hw
+    )

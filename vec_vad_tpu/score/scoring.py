@@ -1,0 +1,81 @@
+"""Test-time score normalization, fusion, and aggregation.
+
+Reference semantics (test.py:269-358):
+  * per-cube MSE scores z-normalized by the block's TRAINING score mean/std
+    (test.py:300-302,338-340)
+  * two-stream fusion: w_raw * raw + w_of * of (test.py:304-307,342-345)
+  * cubes in blocks with no trained model score big_number = 100000
+    (test.py:308-310,346-348)
+  * scores splat into an (h, w) pixel mask initialized at -big_number,
+    running elementwise max over boxes (test.py:350-357); the frame-level
+    score is the mask max (test.py:392)
+
+Frame-level evaluation never needs the pixel masks: frame score ==
+max over the frame's cube scores (or -big_number with no cubes), so the
+fast path aggregates with a segment max and the pixel splat is an optional
+visualization/pixel-criterion output.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+BIG_NUMBER = 100000.0  # test.py:196
+
+
+def fuse_scores(
+    raw_scores: np.ndarray,
+    of_scores: Optional[np.ndarray],
+    raw_stats: Tuple[float, float],
+    of_stats: Optional[Tuple[float, float]],
+    w_raw: float,
+    w_of: float,
+) -> np.ndarray:
+    """Z-normalize each stream by its training stats and fuse."""
+    mu_r, sd_r = raw_stats
+    fused = w_raw * ((raw_scores - mu_r) / sd_r)
+    if of_scores is not None and of_stats is not None:
+        mu_o, sd_o = of_stats
+        fused = fused + w_of * ((of_scores - mu_o) / sd_o)
+    return fused
+
+
+def frame_scores_from_cubes(
+    cube_scores: np.ndarray,
+    frame_ids: np.ndarray,
+    n_frames: int,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Per-frame max over cube scores; frames with no cubes get -big_number
+    (the untouched mask init, test.py:276)."""
+    out = np.full(n_frames, -big_number, dtype=np.float64)
+    np.maximum.at(out, frame_ids, cube_scores)
+    return out
+
+
+def splat_score_masks(
+    cube_scores: np.ndarray,
+    boxes: np.ndarray,
+    frame_ids: np.ndarray,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Full per-frame pixel score masks (test.py:350-358).
+
+    boxes: (M, 4) xyxy; the splat region uses integer-ceil edges like the
+    reference (test.py:354-356). Returns (n_frames, h, w) float32.
+    """
+    h, w = frame_hw
+    masks = np.full((n_frames, h, w), -big_number, dtype=np.float32)
+    x0 = np.ceil(boxes[:, 0]).astype(np.int64)
+    y0 = np.ceil(boxes[:, 1]).astype(np.int64)
+    x1 = np.ceil(boxes[:, 2]).astype(np.int64)
+    y1 = np.ceil(boxes[:, 3]).astype(np.int64)
+    for m in range(cube_scores.shape[0]):
+        f = frame_ids[m]
+        region = masks[f, y0[m] : y1[m], x0[m] : x1[m]]
+        np.maximum(region, cube_scores[m], out=region)
+    return masks

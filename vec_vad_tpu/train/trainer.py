@@ -1,0 +1,277 @@
+"""Per-block training of the completion ensemble under jit + data sharding.
+
+Reference semantics (train.py:240-437):
+  * per (scene, h, w) block with >1 cubes: fresh model, Adam(lr=1e-3,
+    eps=1e-7, weight_decay=0), `epochs` passes over shuffled batches of
+    `batch_size`, loss = lambda_raw*MSE(raw) + lambda_of*MSE(of) with
+    detached targets (train.py:307-314)
+  * afterwards one unshuffled eval-mode forward pass collecting per-cube
+    scores: squared error summed over (channels, H, W) (train.py:349-355),
+    whose mean/std later z-normalize test scores (test.py:264-266)
+
+TPU redesign: fixed-shape batches (wrap-padded + weight-masked) so every
+step hits one compiled executable; batch axis sharded over the mesh's
+'data' axis with replicated params — XLA emits the gradient psum over ICI.
+The reference's partial final batch is reproduced exactly by the weight
+mask (masked batch-mean == torch MSELoss mean over the partial batch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from vec_vad_tpu.config import CompletionConfig
+from vec_vad_tpu.models.completion import SelfCompletionNet
+from vec_vad_tpu.parallel.mesh import (
+    data_sharding,
+    pad_to_multiple,
+    replicated_sharding,
+)
+
+
+class BlockModelState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclass
+class TrainedBlock:
+    """Artifact of one block's training: weights + score statistics
+    (the coupling the reference persists via model_set +
+    *_training_scores_set, train.py:432-436)."""
+
+    params: Any
+    batch_stats: Any
+    raw_scores: np.ndarray
+    of_scores: Optional[np.ndarray]
+
+    @property
+    def raw_stats(self) -> Tuple[float, float]:
+        return float(np.mean(self.raw_scores)), float(np.std(self.raw_scores))
+
+    @property
+    def of_stats(self) -> Optional[Tuple[float, float]]:
+        if self.of_scores is None:
+            return None
+        return float(np.mean(self.of_scores)), float(np.std(self.of_scores))
+
+
+def _masked_mean_sq(err: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Mean of err^2 over everything, weighting batch elements by w.
+
+    err is (E, B, P, P, C); w is (B,). Equals torch MSELoss (mean) over the
+    unpadded batch when w is the 0/1 pad mask."""
+    per_elem = jnp.mean(jnp.square(err), axis=(0, 2, 3, 4))  # (B,)
+    return jnp.sum(per_elem * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _cube_scores(err: jnp.ndarray) -> jnp.ndarray:
+    """Per-cube squared error summed over (members, H, W, C) — the
+    reference's channel-concatenated MSE sum (train.py:349-355)."""
+    return jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))
+
+
+class BlockTrainer:
+    """Compiles and runs training/scoring for completion-net blocks."""
+
+    def __init__(
+        self,
+        net: SelfCompletionNet,
+        cfg: CompletionConfig,
+        mesh: Mesh,
+        patch_size: int = 32,
+    ):
+        self.net = net
+        self.cfg = cfg
+        self.mesh = mesh
+        self.patch_size = patch_size
+        self.tx = optax.adam(
+            learning_rate=cfg.learning_rate, eps=cfg.adam_eps
+        )
+        self._build()
+
+    # -- compiled steps -----------------------------------------------------
+
+    def _build(self) -> None:
+        net, cfg, tx = self.net, self.cfg, self.tx
+        rep = replicated_sharding(self.mesh)
+        dat = data_sharding(self.mesh)
+
+        def loss_fn(params, batch_stats, x, x_of, w):
+            out, mutated = net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, x_of, True, mutable=["batch_stats"],
+            )
+            loss_raw = _masked_mean_sq(out.raw_out - out.raw_tgt, w)
+            if cfg.use_flow and out.of_out is not None:
+                loss_of = _masked_mean_sq(out.of_out - out.of_tgt, w)
+                loss = cfg.lambda_raw * loss_raw + cfg.lambda_of * loss_of
+            else:
+                loss_of = jnp.zeros(())
+                loss = loss_raw
+            return loss, (mutated["batch_stats"], loss_raw, loss_of)
+
+        def train_step(state: BlockModelState, x, x_of, w):
+            grads, (new_bs, loss_raw, loss_of) = jax.grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, x, x_of, w)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, {"loss_raw": loss_raw, "loss_of": loss_of}
+
+        def score_step(state: BlockModelState, x, x_of):
+            out = net.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, x_of, False,
+            )
+            raw = _cube_scores(out.raw_out - out.raw_tgt)
+            if cfg.use_flow and out.of_out is not None:
+                of = _cube_scores(out.of_out - out.of_tgt)
+            else:
+                of = jnp.zeros_like(raw)
+            return raw, of
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, dat, dat, dat),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._score_step = jax.jit(
+            score_step,
+            in_shardings=(rep, dat, dat),
+            out_shardings=(dat, dat),
+        )
+
+    # -- state management ---------------------------------------------------
+
+    def init_state(self, seed: int) -> BlockModelState:
+        p = self.patch_size
+        x = jnp.zeros((1, p, p, self.net.tot_raw_num * self.net.raw_channels))
+        x_of = jnp.zeros((1, p, p, self.net.tot_of_num * self.net.of_channels))
+        variables = self.net.init(jax.random.key(seed), x, x_of, False)
+        params = variables["params"]
+        return BlockModelState(
+            params=params,
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- host-side loops ----------------------------------------------------
+
+    def fit_block(
+        self,
+        raw_inputs: np.ndarray,
+        of_inputs: Optional[np.ndarray],
+        seed: int = 0,
+        log_every: int = 0,
+        segments: Optional[List[Tuple[np.ndarray, Optional[np.ndarray]]]] = None,
+    ) -> TrainedBlock:
+        """Train one block to convergence and collect training scores.
+
+        raw_inputs: (N, P, P, T*3) float32 in [0, 1]; of_inputs:
+        (N, P, P, T_of*2) or None. `segments` optionally streams extra
+        (raw, of) chunks per epoch after the first (the ShanghaiTech
+        saveSegNum streaming pattern, train.py:292-296).
+        """
+        cfg = self.cfg
+        state = self.init_state(seed)
+        rng = np.random.default_rng(seed)
+        bsz = cfg.batch_size
+        all_segments = [(raw_inputs, of_inputs)] + (segments or [])
+
+        for epoch in range(cfg.epochs):
+            for seg_raw, seg_of in all_segments:
+                n = seg_raw.shape[0]
+                order = rng.permutation(n)
+                for lo in range(0, n, bsz):
+                    sel = order[lo : lo + bsz]
+                    xb = seg_raw[sel]
+                    ob = seg_of[sel] if seg_of is not None else None
+                    state, metrics = self._step_padded(state, xb, ob)
+                    if log_every and (lo // bsz) % log_every == 0:
+                        lr = float(metrics["loss_raw"])
+                        lo_ = float(metrics["loss_of"])
+                        print(
+                            f"epoch {epoch} batch {lo // bsz}: "
+                            f"raw {lr:.5f} of {lo_:.5f}"
+                        )
+
+        raw_scores, of_scores = [], []
+        for seg_raw, seg_of in all_segments:
+            r, o = self.score_block(state, seg_raw, seg_of)
+            raw_scores.append(r)
+            of_scores.append(o)
+        raw_sc = np.concatenate(raw_scores)
+        of_sc = np.concatenate(of_scores) if cfg.use_flow else None
+        return TrainedBlock(
+            params=jax.device_get(state.params),
+            batch_stats=jax.device_get(state.batch_stats),
+            raw_scores=raw_sc,
+            of_scores=of_sc,
+        )
+
+    def _step_padded(self, state, xb, ob):
+        bsz = self.cfg.batch_size
+        arrays = [xb] if ob is None else [xb, ob]
+        padded, mask = pad_to_multiple(arrays, bsz)
+        xb = padded[0]
+        ob = padded[1] if ob is not None else self._dummy_of(xb.shape[0])
+        return self._train_step(state, jnp.asarray(xb), jnp.asarray(ob), jnp.asarray(mask))
+
+    def _dummy_of(self, n: int) -> jnp.ndarray:
+        p = self.patch_size
+        return jnp.zeros((n, p, p, self.net.tot_of_num * self.net.of_channels))
+
+    def score_block(
+        self,
+        state_or_block,
+        raw_inputs: np.ndarray,
+        of_inputs: Optional[np.ndarray],
+        batch_size: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Eval-mode per-cube (raw, of) scores, in input order."""
+        state = self._as_state(state_or_block)
+        bsz = batch_size or self.cfg.batch_size
+        n = raw_inputs.shape[0]
+        raws, ofs = [], []
+        for lo in range(0, n, bsz):
+            xb = raw_inputs[lo : lo + bsz]
+            ob = of_inputs[lo : lo + bsz] if of_inputs is not None else None
+            arrays = [xb] if ob is None else [xb, ob]
+            padded, mask = pad_to_multiple(arrays, bsz)
+            xp = padded[0]
+            op = padded[1] if ob is not None else self._dummy_of(xp.shape[0])
+            r, o = self._score_step(state, jnp.asarray(xp), jnp.asarray(op))
+            k = int(mask.sum())
+            raws.append(np.asarray(r)[:k])
+            ofs.append(np.asarray(o)[:k])
+        return np.concatenate(raws), np.concatenate(ofs)
+
+    def _as_state(self, state_or_block) -> BlockModelState:
+        if isinstance(state_or_block, BlockModelState):
+            return state_or_block
+        b = state_or_block
+        return BlockModelState(
+            params=b.params,
+            batch_stats=b.batch_stats,
+            opt_state=self.tx.init(b.params),
+            step=jnp.zeros((), jnp.int32),
+        )
