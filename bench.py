@@ -1,0 +1,103 @@
+"""End-to-end inference throughput benchmark on real TPU hardware.
+
+Measures the full test-time scoring path of the flagship configuration
+(UCSDped2 geometry, SelfCompleteNet4-equivalent ensemble, precomputed
+bboxes — driver config #1 in BASELINE.json) with the fused device-resident
+pipeline: HBM frame stack -> temporal-window gather -> crop-resize ->
+completion-ensemble forward -> z-normalized scores -> per-frame max.
+
+Inputs: synthetic 240x360 frames (no raw video ships with the repo) with
+the REAL UCSDped2 test bbox fixture (raw_datasets/UCSDped2/
+bboxes_test_obj_det_with_motion.npy) driving box geometry, so the workload
+shape matches the real dataset exactly (2010 frames, real per-frame box
+counts).
+
+Prints ONE json line: frames/second over the full test set.
+vs_baseline is the real-time factor (throughput / 25 fps surveillance
+video), since the reference publishes no throughput numbers
+(BASELINE.md: AUROC only).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from vec_vad_tpu.config import CompletionConfig, ForegroundConfig, PipelineConfig
+    from vec_vad_tpu.data.video_index import VideoIndex
+    from vec_vad_tpu.infer import infer_frame_scores
+    from vec_vad_tpu.models.completion import make_completion_net
+    from vec_vad_tpu.ops.stc import pad_boxes
+
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=32, max_boxes_per_frame=32),
+        model=CompletionConfig(nf=32, context_of_num=0, use_flow=False),
+    )
+
+    boxes_list = list(
+        np.load(
+            "/root/reference/raw_datasets/UCSDped2/"
+            "bboxes_test_obj_det_with_motion.npy",
+            allow_pickle=True,
+        )
+    )
+    n = len(boxes_list)
+    h, w = cfg.dataset.frame_hw
+    # UCSDped2 test split: 12 videos x ~180 frames
+    lengths = [n // 12] * 11
+    lengths.append(n - sum(lengths))
+    index = VideoIndex([f"v{i}" for i in range(12)], np.array(lengths))
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    boxes_pad, valid = pad_boxes(boxes_list, cfg.fore.max_boxes_per_frame)
+    windows = index.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+
+    net = make_completion_net(cfg.model)
+    P = cfg.fore.patch_size
+    x0 = np.zeros((1, P, P, cfg.model.tot_raw_num * 3), np.float32)
+    of0 = np.zeros((1, P, P, cfg.model.tot_of_num * 2), np.float32)
+    variables = net.init(jax.random.key(0), x0, of0, False)
+    stats = (100.0, 30.0, 1.0, 1.0)
+
+    kwargs = dict(
+        cfg=cfg, variables=variables, stats=stats, frames=frames,
+        windows=windows, boxes_pad=boxes_pad, valid=valid, chunk=32, net=net,
+    )
+    # warmup (compile)
+    warm = dict(kwargs)
+    warm.update(
+        frames=frames[: 5 * 32],
+        windows=np.clip(windows[: 5 * 32], 0, 5 * 32 - 1),
+        boxes_pad=boxes_pad[: 5 * 32],
+        valid=valid[: 5 * 32],
+    )
+    infer_frame_scores(**warm)
+
+    t0 = time.perf_counter()
+    scores = infer_frame_scores(**kwargs)
+    dt = time.perf_counter() - t0
+    assert scores.shape == (n,) and np.isfinite(scores[valid.any(1)]).all()
+
+    fps = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ucsdped2_test_inference_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 25.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
