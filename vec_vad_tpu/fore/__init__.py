@@ -1,0 +1,9 @@
+from vec_vad_tpu.fore.suppress import del_cover_bboxes  # noqa: F401
+from vec_vad_tpu.fore.patches import get_patch_boxes, full_frame_box  # noqa: F401
+from vec_vad_tpu.fore.motion import motion_maps, motion_bboxes  # noqa: F401
+from vec_vad_tpu.fore.detector import (  # noqa: F401
+    AppearanceDetector,
+    PrecomputedDetector,
+    filter_detections,
+    compute_foreground_bboxes,
+)
