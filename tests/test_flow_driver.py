@@ -1,0 +1,138 @@
+"""Flow driver (pair selection, resize protocol), losses, flow IO/viz."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vec_vad_tpu.data.video_index import VideoIndex
+from vec_vad_tpu.flow.driver import (
+    compute_optical_flow,
+    flow_pair_indices,
+    resize_bilinear,
+)
+from vec_vad_tpu.flow.losses import epe, multiscale_loss
+from vec_vad_tpu.utils import flowviz
+
+
+def test_flow_pair_indices_boundary_rule():
+    # Reference quirk (calc_optical_flow.py:43-76): at a video's FIRST
+    # frame the window is [0, 0, 1] and the boundary branch picks window
+    # positions (0, 1) -> the pair (f0, f0), i.e. degenerate zero flow.
+    # Mid-video frame t pairs (t, t+1); the last frame pairs (N-2, N-1).
+    idx = VideoIndex(["a", "b"], np.array([5, 5]))
+    first, second = flow_pair_indices(idx)
+    np.testing.assert_array_equal(first[:5], [0, 1, 2, 3, 3])
+    np.testing.assert_array_equal(second[:5], [0, 2, 3, 4, 4])
+    np.testing.assert_array_equal(first[5:], [5, 6, 7, 8, 8])
+    np.testing.assert_array_equal(second[5:], [5, 7, 8, 9, 9])
+
+
+def test_resize_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.normal(size=(2, 24, 30, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(img), 38, 51))
+    for b in range(2):
+        expect = cv2.resize(img[b], (51, 38))
+        np.testing.assert_allclose(got[b], expect, atol=1e-4)
+
+
+def test_compute_optical_flow_with_stub_net():
+    """Drive the full batched protocol with a stub net that returns the
+    (resized) frame difference as 'flow' — checks shapes, batching, pad
+    handling, and the no-rescale resize-back."""
+
+    class StubNet:
+        def apply(self, variables, pair):
+            # pair: (B, 2, 384, 512, 3)
+            return (pair[:, 1, :, :, :2] - pair[:, 0, :, :, :2]) / 10.0
+
+    idx = VideoIndex(["a"], np.array([7]))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (7, 48, 64, 3), dtype=np.uint8)
+    flow = compute_optical_flow(StubNet(), {}, idx, frames, chunk=3)
+    assert flow.shape == (7, 48, 64, 2)
+    assert np.isfinite(flow).all()
+    # last frame's flow equals the previous frame's (same pair, cf.
+    # calc_optical_flow.py boundary rule)
+    np.testing.assert_allclose(flow[6], flow[5], atol=1e-5)
+
+
+def test_multiscale_loss_matches_reference_recipe(rng):
+    torch = pytest.importorskip("torch")
+
+    target = rng.normal(size=(2, 64, 64, 2)).astype(np.float32)
+    pyramid = [
+        rng.normal(size=(2, 64 // (4 * 2 ** i), 64 // (4 * 2 ** i), 2)).astype(
+            np.float32
+        )
+        for i in range(5)
+    ]
+    loss, epe_v = multiscale_loss([jnp.asarray(p) for p in pyramid], jnp.asarray(target))
+
+    # reference recipe (losses.py:46-83) with torch ops
+    t = torch.from_numpy(np.transpose(target, (0, 3, 1, 2))) * 0.05
+    loss_t, epe_t = 0.0, 0.0
+    for i, p in enumerate(pyramid):
+        w = 0.32 / 2 ** i
+        pool = torch.nn.AvgPool2d(4 * 2 ** i, 4 * 2 ** i)
+        tt = pool(t)
+        pt = torch.from_numpy(np.transpose(p, (0, 3, 1, 2)))
+        loss_t += w * torch.abs(pt - tt).mean().item()
+        epe_t += w * torch.norm(tt - pt, p=2, dim=1).mean().item()
+    assert abs(float(loss) - loss_t) < 1e-5
+    assert abs(float(epe_v) - epe_t) < 1e-5
+
+
+def test_flo_roundtrip_and_color(tmp_path, rng):
+    flow = rng.normal(scale=3.0, size=(12, 17, 2)).astype(np.float32)
+    p = str(tmp_path / "x.flo")
+    flowviz.write_flo(p, flow)
+    back = flowviz.read_flo(p)
+    np.testing.assert_array_equal(back, flow)
+
+    img = flowviz.flow_to_image(flow)
+    assert img.shape == (12, 17, 3) and img.dtype == np.uint8
+    # zero flow renders (near) white under max normalization
+    z = flowviz.flow_to_image(np.zeros((4, 4, 2), np.float32))
+    assert (z > 240).all()
+
+    err = flowviz.flow_error(flow[..., 0], flow[..., 1], flow[..., 0], flow[..., 1])
+    assert err == 0.0
+
+
+def test_kitti_png_roundtrip(tmp_path, rng):
+    pytest.importorskip("cv2")
+    flow = rng.normal(scale=5.0, size=(8, 9, 2)).astype(np.float32)
+    p = str(tmp_path / "k.png")
+    flowviz.write_kitti_png(p, flow)
+    back = flowviz.read_kitti_png(p)
+    np.testing.assert_allclose(back[..., :2], flow, atol=1 / 64.0)
+    assert (back[..., 2] == 1).all()
+
+
+def test_flow_trainer_step():
+    from vec_vad_tpu.flow.trainer import FlowTrainer
+    from vec_vad_tpu.models.flownet.nets import FlowNetFusion
+
+    # FlowNetFusion returns a single flow; use FlowNetS-like pyramid via a
+    # tiny wrapper around FlowNetS to keep the test fast: instead train
+    # Fusion's output against scale-4... simplest: use FlowNetS with a tiny
+    # input.
+    from vec_vad_tpu.models.flownet.nets import FlowNetS
+
+    net = FlowNetS(6)
+    trainer = FlowTrainer(net, learning_rate=1e-4)
+    rng = np.random.default_rng(0)
+    pairs = rng.normal(size=(2, 64, 64, 6)).astype(np.float32)
+    target = rng.normal(size=(2, 64, 64, 2)).astype(np.float32)
+    state = trainer.init_state(pairs)
+    losses = []
+    for _ in range(3):
+        state, m = trainer.step(state, pairs, target)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 3
+    # optimization is moving (loss changes step to step)
+    assert losses[0] != losses[-1]

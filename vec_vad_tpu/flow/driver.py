@@ -1,0 +1,109 @@
+"""Optical-flow precomputation driver.
+
+Replicates calc_optical_flow.py:25-85 exactly, but batched and
+device-resident:
+  * frame pairs come from ctx=1 'hard' context windows; at a video's first
+    frame the pair is (frames[0], frames[1]) and elsewhere
+    (window[1], window[2]) = (frame t, frame t+1) — so every frame gets
+    flow(t -> t+1) except the last, which gets flow(t-1 -> t)
+    (calc_optical_flow.py:43-76)
+  * both frames resize to 512x384 (cv2 bilinear), grayscale replicates to
+    3 channels, FlowNet2 runs, and the flow resizes back to the original
+    (w, h) WITHOUT magnitude rescaling (the reference's quirk)
+
+The resizes run on device through the same interpolation-matrix matmuls as
+STC extraction, and pairs batch through FlowNet2 in chunks instead of the
+reference's batch=1 loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vec_vad_tpu.data.video_index import VideoIndex
+from vec_vad_tpu.ops.stc import _interp_matrix
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear(frames: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.resize-parity bilinear resize of a full (B, H, W, C) stack."""
+    B, H, W, C = frames.shape
+    my = _interp_matrix(jnp.int32(0), jnp.int32(H), H, out_h)
+    mx = _interp_matrix(jnp.int32(0), jnp.int32(W), W, out_w)
+    return jnp.einsum(
+        "ph,bhwc,qw->bpqc", my, frames.astype(jnp.float32), mx,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def flow_pair_indices(index: VideoIndex) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame (first, second) source-frame indices for the flow pair,
+    following the reference's boundary rule (calc_optical_flow.py:43-76)."""
+    win = index.context_indices(1, "hard")  # (N, 3)
+    boundary = (win[:, 1] == win[:, 0]) | (win[:, 1] == win[:, 2])
+    first = np.where(boundary, win[:, 0], win[:, 1])
+    second = np.where(boundary, win[:, 1], win[:, 2])
+    return first, second
+
+
+def compute_optical_flow(
+    net,
+    variables,
+    index: VideoIndex,
+    frames: np.ndarray,
+    chunk: int = 4,
+    model_hw: Tuple[int, int] = (384, 512),
+) -> np.ndarray:
+    """Dense flow for every frame of a split: (N, H, W, 2) float32."""
+    n, H, W, C = frames.shape
+    first, second = flow_pair_indices(index)
+    mh, mw = model_hw
+
+    @jax.jit
+    def run_chunk(f1, f2):
+        # (B, H, W, C) uint8 pairs -> (B, H, W, 2) flow at original size
+        r1 = resize_bilinear(f1, mh, mw)
+        r2 = resize_bilinear(f2, mh, mw)
+        if C == 1:
+            r1 = jnp.repeat(r1, 3, axis=-1)
+            r2 = jnp.repeat(r2, 3, axis=-1)
+        pair = jnp.stack([r1, r2], axis=1)  # (B, 2, mh, mw, 3)
+        flow = net.apply(variables, pair)
+        # resize back without magnitude rescaling (calc_optical_flow.py:59,82)
+        return resize_bilinear(flow, H, W)
+
+    out = np.empty((n, H, W, 2), np.float32)
+    frames_j = jnp.asarray(frames)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sel = np.arange(lo, hi)
+        pad = chunk - sel.size
+        sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
+        f1 = jnp.take(frames_j, jnp.asarray(first[sel_p]), axis=0)
+        f2 = jnp.take(frames_j, jnp.asarray(second[sel_p]), axis=0)
+        flow = np.asarray(run_chunk(f1, f2))
+        out[lo:hi] = flow[: sel.size]
+    return out
+
+
+def save_flow_tree(
+    flow: np.ndarray, index: VideoIndex, of_root: str, dataset_rel: str
+) -> None:
+    """Persist per-frame flow .npy files mirroring the dataset tree
+    (calc_optical_flow.py:30-38), for interop with reference artifacts."""
+    import os
+
+    assert index.frame_paths is not None
+    n_root = len(os.path.normpath(dataset_rel).split(os.sep))
+    for i, p in enumerate(index.frame_paths):
+        parts = os.path.normpath(p).split(os.sep)
+        rel = parts[-3:] if n_root == 0 else parts[n_root:]
+        stem = os.path.splitext(rel[-1])[0]
+        d = os.path.join(of_root, *rel[:-1])
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, stem + ".npy"), flow[i])

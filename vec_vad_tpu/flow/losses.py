@@ -1,0 +1,54 @@
+"""Flow training losses (parity with FlowNet2_src/losses.py).
+
+epe: mean L2 norm of the flow error over pixels.
+multiscale_loss: weighted sum over the 5-scale pyramid with avg-pooled,
+div_flow-scaled targets (losses.py:46-83): weights 0.32/2^k, pooling
+4*2^k, div_flow 0.05.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def epe(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Endpoint error: pred/target (B, H, W, 2)."""
+    return jnp.mean(
+        jnp.sqrt(jnp.sum(jnp.square(target - pred), axis=-1))
+    )
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return epe(pred, target)  # the reference's "L2" is per-pixel norm mean
+
+
+def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return nn.avg_pool(x, (k, k), (k, k))
+
+
+def multiscale_loss(
+    flow_pyramid: Sequence[jnp.ndarray],
+    target: jnp.ndarray,
+    start_scale: int = 4,
+    l_weight: float = 0.32,
+    norm: str = "L1",
+    div_flow: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(loss, epe) over the (flow2..flow6) pyramid vs a full-res target."""
+    loss_fn = l1_loss if norm == "L1" else l2_loss
+    target = div_flow * target
+    loss = 0.0
+    epe_v = 0.0
+    for i, pred in enumerate(flow_pyramid):
+        w = l_weight / (2 ** i)
+        t = _avg_pool(target, start_scale * (2 ** i))
+        loss = loss + w * loss_fn(pred, t)
+        epe_v = epe_v + w * epe(pred, t)
+    return loss, epe_v

@@ -1,0 +1,92 @@
+"""Flow-network fine-tuning harness.
+
+Capability parity with the vestigial flownet2-pytorch trainer
+(FlowNet2_src/main.py): train/validate any FlowNet2-family net on
+(image-pair, flow) batches with the multi-scale loss, under jit with
+data-parallel batch sharding — the reference used torch DataParallel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from vec_vad_tpu.flow.losses import multiscale_loss
+from vec_vad_tpu.parallel.mesh import data_sharding, get_mesh, replicated_sharding
+
+
+class FlowTrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class FlowTrainer:
+    """Multi-scale flow training for a pyramid-returning net (FlowNetC/S/SD
+    or the FlowNet2 variants in train mode)."""
+
+    def __init__(
+        self,
+        net,
+        learning_rate: float = 1e-4,
+        norm: str = "L1",
+        mesh: Optional[Mesh] = None,
+    ):
+        self.net = net
+        self.tx = optax.adam(learning_rate)
+        self.mesh = mesh or get_mesh()
+        rep = replicated_sharding(self.mesh)
+        dat = data_sharding(self.mesh)
+
+        def loss_fn(params, pairs, target):
+            pyramid = net.apply({"params": params}, pairs, True)
+            loss, epe_v = multiscale_loss(pyramid, target, norm=norm)
+            return loss, epe_v
+
+        def train_step(state: FlowTrainState, pairs, target):
+            (loss, epe_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, pairs, target
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                FlowTrainState(params=params, opt_state=opt_state, step=state.step + 1),
+                {"loss": loss, "epe": epe_v},
+            )
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, dat, dat),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._n_devices = self.mesh.devices.size
+
+    def init_state(self, example_pairs: np.ndarray, seed: int = 0) -> FlowTrainState:
+        variables = self.net.init(
+            jax.random.key(seed), jnp.asarray(example_pairs), True
+        )
+        params = variables["params"]
+        return FlowTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def step(
+        self, state: FlowTrainState, pairs: np.ndarray, target: np.ndarray
+    ) -> Tuple[FlowTrainState, dict]:
+        from vec_vad_tpu.parallel.mesh import pad_to_multiple
+
+        (pairs, target), _ = pad_to_multiple(
+            [np.asarray(pairs), np.asarray(target)], self._n_devices
+        )
+        return self._train_step(
+            state, jnp.asarray(pairs), jnp.asarray(target)
+        )

@@ -1,0 +1,225 @@
+"""TPU-native replacements for the reference's three custom CUDA ops plus
+the up-sampling helpers FlowNet2 relies on.
+
+  * correlation — cost volume (ops/correlation/correlation_cuda_kernel.cu):
+    441-channel dot-product over a 21x21 displacement grid. Pure-jnp
+    reference implementation + a Pallas kernel that reads both feature maps
+    into VMEM once instead of 441 shifted HBM reads.
+  * warp_bilinear — Resample2d (ops/resample2d/Resample2d_kernel.cu:20-66):
+    backward warp with corner-clamped bilinear sampling; pure jnp, XLA
+    autodiff supplies the VJP the reference hand-writes in CUDA.
+  * channel_norm — ChannelNorm (ops/channelnorm): per-pixel L2 over
+    channels.
+  * upsample_bilinear / upsample_nearest — nn.Upsample(scale_factor=4)
+    equivalents, with the align_corners flag (torch<=0.3, the checkpoint
+    era, defaulted to True; modern torch to False).
+
+Everything NHWC.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Correlation cost volume
+# ---------------------------------------------------------------------------
+
+
+def correlation_ref(
+    a: jnp.ndarray, b: jnp.ndarray, max_disp: int = 20, stride: int = 2
+) -> jnp.ndarray:
+    """Reference (pure-jnp) cost volume.
+
+    a, b: (B, H, W, C). Output (B, H, W, D) with D = (2*max_disp/stride+1)^2
+    and channel (dy_i * 21 + dx_i) ordered dy-major, matching the CUDA
+    kernel's top_channel layout (correlation_cuda_kernel.cu:34-106).
+    Normalization is 1/C (kernel_size=1, corr_multiply=1).
+    """
+    B, H, W, C = a.shape
+    p = max_disp
+    bp = jnp.pad(b, ((0, 0), (p, p), (p, p), (0, 0)))
+    outs = []
+    for dy in range(-max_disp, max_disp + 1, stride):
+        for dx in range(-max_disp, max_disp + 1, stride):
+            shifted = jax.lax.dynamic_slice(
+                bp, (0, p + dy, p + dx, 0), (B, H, W, C)
+            )
+            outs.append(jnp.sum(a * shifted, axis=-1))
+    return jnp.stack(outs, axis=-1) / C
+
+
+def _corr_kernel(a_ref, b_ref, out_ref, *, max_disp, stride, tile_h):
+    """Pallas kernel body: one (batch, row-tile) program.
+
+    a_ref: (1, TH, W, C); b_ref: (1, H, W, C) full (same batch);
+    out_ref: (1, TH, W, D). b rows/cols are fetched lazily per displacement
+    with static slices, zero-filled outside the frame.
+    """
+    import jax.experimental.pallas as pl
+
+    th = tile_h
+    _, H, W, C = b_ref.shape
+    a = a_ref[0]  # (TH, W, C)
+    n_disp = 2 * max_disp // stride + 1
+    ty = pl.program_id(1)
+
+    for dyi in range(n_disp):
+        dy = -max_disp + dyi * stride
+        # rows needed: [ty*th + dy, ty*th + th + dy), zero-fill outside
+        rows = []
+        for r in range(th):
+            idx = ty * th + dy + r
+            inb = jnp.logical_and(idx >= 0, idx < H)
+            safe = jnp.clip(idx, 0, H - 1)
+            row = b_ref[0, safe]  # (W, C)
+            rows.append(jnp.where(inb, row, 0.0))
+        brows = jnp.stack(rows, axis=0)  # (TH, W, C)
+        bp = jnp.pad(brows, ((0, 0), (max_disp, max_disp), (0, 0)))
+        for dxi in range(n_disp):
+            dx = -max_disp + dxi * stride
+            shifted = bp[:, max_disp + dx : max_disp + dx + W, :]
+            out_ref[0, :, :, dyi * n_disp + dxi] = (
+                jnp.sum(a * shifted, axis=-1) / C
+            )
+
+
+def correlation_pallas(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    max_disp: int = 20,
+    stride: int = 2,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas cost volume: a/b tiles live in VMEM, 441 displacement
+    dot-products computed without re-reading HBM."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = a.shape
+    n_disp = 2 * max_disp // stride + 1
+    D = n_disp * n_disp
+    grid = (B, pl.cdiv(H, tile_h))
+
+    kernel = functools.partial(
+        _corr_kernel, max_disp=max_disp, stride=stride, tile_h=tile_h
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_h, W, C),
+                lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H, W, C),
+                lambda bi, ti: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, W, D),
+            lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
+        interpret=interpret,
+    )(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Backward warp (Resample2d)
+# ---------------------------------------------------------------------------
+
+
+def warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp img by flow: out[y, x] = img[y + v, x + u] bilinear.
+
+    img: (B, H, W, C); flow: (B, H, W, 2) with (u, v) = (dx, dy) channel
+    order like the reference (Resample2d_kernel.cu:43-44). Corner indices
+    clamp to the frame while the blending weights keep the unclamped
+    fractional parts — the CUDA kernel's exact convention (:50-62).
+    """
+    B, H, W, C = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    xf = xs + flow[..., 0]
+    yf = ys + flow[..., 1]
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    alpha = (xf - x0)[..., None]
+    beta = (yf - y0)[..., None]
+    xl = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    xr = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
+    yt = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    yb = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
+
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0)
+
+    def gather(yy, xx):
+        return img[bidx, yy, xx]  # (B, H, W, C)
+
+    return (
+        (1 - alpha) * (1 - beta) * gather(yt, xl)
+        + alpha * (1 - beta) * gather(yt, xr)
+        + (1 - alpha) * beta * gather(yb, xl)
+        + alpha * beta * gather(yb, xr)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ChannelNorm
+# ---------------------------------------------------------------------------
+
+
+def channel_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel L2 norm over channels -> (..., 1)
+    (ChannelNorm_kernel.cu:19-51)."""
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+
+
+# ---------------------------------------------------------------------------
+# Upsampling
+# ---------------------------------------------------------------------------
+
+
+def upsample_bilinear(
+    x: jnp.ndarray, factor: int, align_corners: bool = False
+) -> jnp.ndarray:
+    """nn.Upsample(mode='bilinear') equivalent, NHWC."""
+    B, H, W, C = x.shape
+    Ho, Wo = H * factor, W * factor
+    if not align_corners:
+        return jax.image.resize(x, (B, Ho, Wo, C), method="bilinear")
+
+    def coords(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,))
+        return jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+
+    yc = coords(H, Ho)
+    xc = coords(W, Wo)
+
+    def interp_axis(arr, c, axis):
+        i0 = jnp.floor(c).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, arr.shape[axis] - 1)
+        frac = (c - i0).reshape((-1,) + (1,) * (arr.ndim - axis - 1))
+        a0 = jnp.take(arr, i0, axis=axis)
+        a1 = jnp.take(arr, i1, axis=axis)
+        return a0 * (1 - frac) + a1 * frac
+
+    out = interp_axis(x, yc, 1)
+    return interp_axis(out, xc, 2)
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """nn.Upsample(mode='nearest') with an integer factor == pixel repeat."""
+    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
