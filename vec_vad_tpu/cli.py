@@ -1,0 +1,133 @@
+"""Command-line interface.
+
+    python -m vec_vad_tpu train      --config config.cfg --base .
+    python -m vec_vad_tpu test       --config config.cfg --base .
+    python -m vec_vad_tpu calc-flow  --config config.cfg --checkpoint ...
+    python -m vec_vad_tpu extract-frames --video v.avi --out frames/
+    python -m vec_vad_tpu bench
+
+Replaces the reference's script entry points (train.py / test.py /
+calc_optical_flow.py / raw_datasets/ShanghaiTech/extract_frames.py /
+train_and_test.sh) with one CLI over the same INI config surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from vec_vad_tpu.config import PipelineConfig, load_ini_config
+
+
+def _load_cfg(args) -> PipelineConfig:
+    if args.config and os.path.exists(args.config):
+        cfg = load_ini_config(args.config)
+    else:
+        cfg = PipelineConfig()
+    if getattr(args, "dataset", None):
+        cfg = cfg.replace(dataset_name=args.dataset)
+    return cfg
+
+
+def _add_common(p):
+    p.add_argument("--config", default="config.cfg", help="INI config path")
+    p.add_argument("--base", default=".", help="base dir holding raw_datasets/")
+    p.add_argument("--dataset", default=None, help="override dataset_name")
+
+
+def cmd_train(args) -> int:
+    from vec_vad_tpu.runner import run_train
+
+    cfg = _load_cfg(args)
+    model, path = run_train(
+        cfg, args.base, seed=args.seed, log_every=args.log_every
+    )
+    print(f"trained {len(model.blocks)} block model(s) -> {path}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from vec_vad_tpu.runner import run_test
+
+    cfg = _load_cfg(args)
+    res = run_test(cfg, args.base, save_masks=args.save_masks)
+    print(f"frame-level AUROC: {res['auroc']:.4f}")
+    print(f"curves -> {res['results_path']}")
+    return 0
+
+
+def cmd_calc_flow(args) -> int:
+    from vec_vad_tpu.runner import run_calc_flow
+
+    cfg = _load_cfg(args)
+    splits = tuple(args.splits.split(","))
+    run_calc_flow(cfg, args.base, checkpoint=args.checkpoint, splits=splits)
+    return 0
+
+
+def cmd_extract_frames(args) -> int:
+    """Video file -> %06d.jpg frames
+    (raw_datasets/ShanghaiTech/extract_frames.py equivalent)."""
+    import cv2
+
+    os.makedirs(args.out, exist_ok=True)
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        print(f"cannot open {args.video}", file=sys.stderr)
+        return 1
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        i += 1
+        cv2.imwrite(os.path.join(args.out, f"{i:06d}.jpg"), frame)
+    cap.release()
+    print(f"extracted {i} frames to {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="vec_vad_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train the completion-model grid")
+    _add_common(p)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=5)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("test", help="score the test split + AUROC")
+    _add_common(p)
+    p.add_argument("--save-masks", action="store_true")
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("calc-flow", help="precompute FlowNet2 optical flow")
+    _add_common(p)
+    p.add_argument("--checkpoint", default=None, help="FlowNet2 .pth(.tar)")
+    p.add_argument("--splits", default="train,test")
+    p.set_defaults(fn=cmd_calc_flow)
+
+    p = sub.add_parser("extract-frames", help="video file -> frame images")
+    p.add_argument("--video", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_extract_frames)
+
+    p = sub.add_parser("bench", help="run the TPU inference benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -57,6 +57,76 @@ def load_frames(
     return np.stack(frames, axis=0)
 
 
+class LazyFrameStack:
+    """Array-like view over a frame tree that decodes on slice.
+
+    Supports the subset of the ndarray interface the pipeline's streaming
+    extraction uses (`shape`, `frames[lo:hi]`), so datasets larger than
+    host RAM (ShanghaiTech: ~340 GB of frames) stream from disk chunk by
+    chunk instead of being loaded whole — the reference achieves the same
+    with per-frame cv2.imread calls in its Dataset classes
+    (vad_datasets.py:356-402).
+    """
+
+    def __init__(self, index: VideoIndex):
+        assert index.frame_paths is not None
+        self.index = index
+        probe = read_frame(index.frame_paths[0])
+        self.shape = (index.total_frames,) + probe.shape
+        self.dtype = probe.dtype
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            idxs = range(*key.indices(self.shape[0]))
+            return np.stack(
+                [read_frame(self.index.frame_paths[i]) for i in idxs]
+            )
+        if np.isscalar(key) or isinstance(key, (int, np.integer)):
+            return read_frame(self.index.frame_paths[int(key)])
+        key = np.asarray(key)
+        flat = np.stack(
+            [read_frame(self.index.frame_paths[int(i)]) for i in key.ravel()]
+        )
+        return flat.reshape(key.shape + flat.shape[1:])
+
+    def __array__(self, dtype=None):
+        out = self[0 : self.shape[0]]
+        return out.astype(dtype) if dtype is not None else out
+
+
+class LazyFlowStack:
+    """LazyFrameStack for a mirrored optical-flow .npy tree
+    (calc_optical_flow.py:30-38 layout)."""
+
+    def __init__(self, index: VideoIndex, of_root: str, dataset_root: str):
+        import os
+
+        assert index.frame_paths is not None
+        self.paths = []
+        prefix = os.path.normpath(dataset_root)
+        for p in index.frame_paths:
+            rel = os.path.relpath(os.path.normpath(p), prefix)
+            stem = os.path.splitext(rel)[0]
+            self.paths.append(os.path.join(of_root, stem + ".npy"))
+        probe = np.load(self.paths[0])
+        self.shape = (len(self.paths),) + probe.shape
+        self.dtype = probe.dtype
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            idxs = range(*key.indices(self.shape[0]))
+            return np.stack([np.load(self.paths[i]) for i in idxs])
+        if np.isscalar(key) or isinstance(key, (int, np.integer)):
+            return np.load(self.paths[int(key)])
+        return np.stack([np.load(self.paths[int(i)]) for i in np.asarray(key)])
+
+
 def _ped_frame_labels(root: str, index: VideoIndex) -> np.ndarray:
     """UCSD ped: per-frame .bmp pixel masks in sibling `<video>_gt` dirs
     (vad_datasets.py:262-272). Frame label = any anomalous pixel."""

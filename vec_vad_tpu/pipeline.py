@@ -130,8 +130,6 @@ def extract_cube_set(
         of_windows = index.context_indices(mc.context_of_num, mc.border_mode)
         if of_windows.ndim == 1:
             of_windows = of_windows[:, None]
-        flow_dev = jax.device_put(jnp.asarray(flow_frames))
-    frames_dev = jax.device_put(jnp.asarray(frames))
 
     h_step = spec.frame_h / fc.h_block
     w_step = spec.frame_w / fc.w_block
@@ -150,18 +148,31 @@ def extract_cube_set(
         # pad the chunk to a fixed size for a single compiled shape
         pad = chunk - sel.size
         sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
+        # Stream only the frame range this chunk's windows touch to the
+        # device (windows are contiguous ranges around the chunk, so large
+        # datasets never need to be HBM/host-RAM resident at once; `frames`
+        # may be a lazy on-disk source). The span is fixed per chunk size so
+        # every chunk reuses one compiled executable.
+        w = raw_windows[sel_p]
+        span = min(n, chunk + 2 * mc.context_frame_num + 1)
+        f_lo = max(0, min(int(w.min()), n - span))
+        frames_dev = jnp.asarray(np.asarray(frames[f_lo : f_lo + span]))
         raw_cubes = np.asarray(
             _extract_chunk(
                 frames_dev,
-                jnp.asarray(raw_windows[sel_p]),
+                jnp.asarray(w - f_lo),
                 jnp.asarray(boxes_pad[sel_p]),
                 fc.patch_size,
             )
         )[: sel.size]
         if flow_frames is not None:
+            ow = of_windows[sel_p]
+            span_of = min(n, chunk + 2 * mc.context_of_num + 1)
+            o_lo = max(0, min(int(ow.min()), n - span_of))
+            flow_dev = jnp.asarray(np.asarray(flow_frames[o_lo : o_lo + span_of]))
             flow_cubes, mag = _extract_chunk_float(
                 flow_dev,
-                jnp.asarray(of_windows[sel_p]),
+                jnp.asarray(ow - o_lo),
                 jnp.asarray(boxes_pad[sel_p]),
                 fc.patch_size,
             )

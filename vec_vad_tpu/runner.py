@@ -1,0 +1,239 @@
+"""Disk-based pipeline orchestration — the library equivalents of the
+reference's `python train.py` / `python test.py` / `python
+calc_optical_flow.py` entry points (train_and_test.sh), with the boolean
+stage flags replaced by the content-hash artifact cache.
+
+Layout conventions match the reference:
+  <base>/raw_datasets/<name>/...                 frames + GT
+  <base>/raw_datasets/<name>/bboxes_{split}_{mode}.npy   bbox fixtures
+  <base>/optical_flow/<name>/...                 mirrored flow .npy tree
+  <base>/data/...                                cached artifacts
+  <base>/results/<name>/...                      scores + curves
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from vec_vad_tpu.config import DATASETS, PipelineConfig
+from vec_vad_tpu.data.readers import (
+    LazyFlowStack,
+    LazyFrameStack,
+    load_frame_labels,
+)
+from vec_vad_tpu.data.video_index import VideoIndex
+from vec_vad_tpu.eval.metrics import save_roc_pr_curve_data
+from vec_vad_tpu.fore.detector import (
+    PrecomputedDetector,
+    compute_foreground_bboxes,
+)
+from vec_vad_tpu.pipeline import (
+    CubeSet,
+    VadModel,
+    extract_cube_set,
+    frame_level_scores,
+    make_trainer,
+    pixel_score_masks,
+    score_cubes,
+    train_model,
+)
+from vec_vad_tpu.runtime.artifacts import (
+    ArtifactCache,
+    fingerprint,
+    load_vad_model,
+    save_vad_model,
+)
+
+
+@dataclass
+class SplitData:
+    index: VideoIndex
+    frames: "LazyFrameStack"
+    flow: Optional["LazyFlowStack"]
+    boxes: List[np.ndarray]
+
+
+def _dataset_root(cfg: PipelineConfig, base: str) -> str:
+    return os.path.join(base, cfg.raw_dataset_dir, cfg.dataset_name)
+
+
+def load_split(cfg: PipelineConfig, base: str, split: str) -> SplitData:
+    """Assemble one split's inputs: index, lazy frames, optional flow tree,
+    and foreground boxes (fixture file if present, else computed)."""
+    root = _dataset_root(cfg, base)
+    spec = cfg.dataset
+    index = VideoIndex.from_layout(cfg.dataset_name, root, split, spec.file_ext)
+    if index.total_frames == 0:
+        raise FileNotFoundError(f"no frames under {root} for split {split!r}")
+    frames = LazyFrameStack(index)
+
+    of_root = os.path.join(base, cfg.optical_flow_dir, cfg.dataset_name)
+    flow = None
+    if os.path.isdir(of_root) and cfg.modality in ("raw2flow", "optical_flow"):
+        try:
+            flow = LazyFlowStack(index, of_root, root)
+        except FileNotFoundError:
+            flow = None
+
+    fixture = os.path.join(
+        root, f"bboxes_{split}_{cfg.fore.extraction_mode}.npy"
+    )
+    if os.path.exists(fixture):
+        det = PrecomputedDetector(fixture)
+        boxes = [det.boxes_for_frame(i) for i in range(index.total_frames)]
+    else:
+        # on-the-fly localization; obj_det modes degrade to motion-only
+        # without a plugged-in appearance detector
+        detector = (
+            (lambda img: (np.zeros((0, 4)), np.zeros(0)))
+            if cfg.fore.extraction_mode.startswith("obj_det")
+            else None
+        )
+        # motion modes need decoded frames chunk by chunk; materialize lazily
+        boxes = compute_foreground_bboxes(
+            cfg, spec, index, frames=frames, detector=detector
+        )
+    return SplitData(index=index, frames=frames, flow=flow, boxes=boxes)
+
+
+def _extract_cached(
+    cfg: PipelineConfig, base: str, split: str, data: SplitData, block_mode: int
+) -> CubeSet:
+    cache = ArtifactCache(os.path.join(base, cfg.data_root_dir, cfg.modality))
+    fp = fingerprint(
+        cfg.fore, cfg.model.context_frame_num, cfg.model.context_of_num,
+        cfg.model.border_mode, split, block_mode, data.index.total_frames,
+        len(data.boxes),
+    )
+
+    def compute():
+        return extract_cube_set(
+            cfg, cfg.dataset, data.index, data.frames, data.boxes,
+            flow_frames=data.flow, block_mode=block_mode,
+        )
+
+    def save(path, cubes: CubeSet):
+        np.savez_compressed(
+            path,
+            raw=cubes.raw,
+            flow=(cubes.flow if cubes.flow is not None else np.zeros(0)),
+            has_flow=np.array(cubes.flow is not None),
+            frame_ids=cubes.frame_ids,
+            boxes=cubes.boxes,
+            cells=cubes.cells,
+            scenes=cubes.scenes,
+        )
+
+    def load(path):
+        with np.load(path) as z:
+            return CubeSet(
+                raw=z["raw"],
+                flow=z["flow"] if bool(z["has_flow"]) else None,
+                frame_ids=z["frame_ids"],
+                boxes=z["boxes"],
+                cells=z["cells"],
+                scenes=z["scenes"],
+            )
+
+    return cache.get_or_compute(f"foreground_{split}", fp, compute, save, load)
+
+
+def run_train(
+    cfg: PipelineConfig, base: str, seed: int = 0, log_every: int = 0
+) -> Tuple[VadModel, str]:
+    """Full training pipeline; returns the model and its artifact path."""
+    data = load_split(cfg, base, "train")
+    cubes = _extract_cached(cfg, base, "train", data, cfg.fore.train_block_mode)
+    trainer = make_trainer(cfg)
+    model = train_model(cfg, cubes, trainer=trainer, seed=seed, log_every=log_every)
+    out_dir = os.path.join(base, cfg.data_root_dir, cfg.modality)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(
+        out_dir,
+        f"{cfg.dataset_name}_model_{cfg.fore.extraction_mode}_{cfg.method}.npz",
+    )
+    save_vad_model(path, model)
+    return model, path
+
+
+def run_test(
+    cfg: PipelineConfig,
+    base: str,
+    model: Optional[VadModel] = None,
+    save_masks: bool = False,
+) -> dict:
+    """Scoring + evaluation; returns a result dict with AUROC etc."""
+    if model is None:
+        path = os.path.join(
+            base, cfg.data_root_dir, cfg.modality,
+            f"{cfg.dataset_name}_model_{cfg.fore.extraction_mode}_{cfg.method}.npz",
+        )
+        model = load_vad_model(path)
+    data = load_split(cfg, base, "test")
+    cubes = _extract_cached(cfg, base, "test", data, cfg.fore.test_block_mode)
+    trainer = make_trainer(cfg)
+    cube_scores = score_cubes(model, cubes, trainer=trainer)
+    n = data.index.total_frames
+    frame_scores = frame_level_scores(cube_scores, cubes, n)
+
+    results_dir = os.path.join(base, cfg.results_dir, cfg.dataset_name)
+    os.makedirs(results_dir, exist_ok=True)
+    if save_masks:
+        masks = pixel_score_masks(
+            cube_scores, cubes, n, cfg.dataset.frame_hw
+        )
+        np.save(os.path.join(results_dir, "score_masks.npy"), masks)
+
+    root = _dataset_root(cfg, base)
+    labels = load_frame_labels(cfg.dataset_name, root, data.index)
+    results_path = os.path.join(
+        results_dir,
+        f"{cfg.modality}_{cfg.fore.extraction_mode}_{cfg.method}_frame_results.npz",
+    )
+    auroc = save_roc_pr_curve_data(frame_scores, labels, results_path)
+    return {
+        "auroc": auroc,
+        "frame_scores": frame_scores,
+        "labels": labels,
+        "results_path": results_path,
+    }
+
+
+def run_calc_flow(
+    cfg: PipelineConfig,
+    base: str,
+    checkpoint: Optional[str] = None,
+    splits: Tuple[str, ...] = ("train", "test"),
+    chunk: int = 4,
+) -> None:
+    """Precompute the optical-flow tree with FlowNet2
+    (calc_optical_flow.py equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.flow.driver import compute_optical_flow, save_flow_tree
+    from vec_vad_tpu.models.flownet import FlowNet2, load_flownet2_checkpoint
+
+    net = FlowNet2()
+    x0 = jnp.zeros((1, 2, 384, 512, 3))
+    if checkpoint:
+        variables, report = load_flownet2_checkpoint(net, x0, checkpoint)
+        print(f"loaded checkpoint: {len(report['matched'])} tensors")
+    else:
+        variables = net.init(jax.random.key(0), x0)
+        print("WARNING: no checkpoint — random-init FlowNet2")
+
+    root = _dataset_root(cfg, base)
+    of_root = os.path.join(base, cfg.optical_flow_dir, cfg.dataset_name)
+    for split in splits:
+        index = VideoIndex.from_layout(
+            cfg.dataset_name, root, split, cfg.dataset.file_ext
+        )
+        frames = np.asarray(LazyFrameStack(index))
+        flow = compute_optical_flow(net, variables, index, frames, chunk=chunk)
+        save_flow_tree(flow, index, of_root, root)
+        print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
