@@ -69,7 +69,9 @@ def load_split(cfg: PipelineConfig, base: str, split: str) -> SplitData:
     index = VideoIndex.from_layout(cfg.dataset_name, root, split, spec.file_ext)
     if index.total_frames == 0:
         raise FileNotFoundError(f"no frames under {root} for split {split!r}")
-    frames = LazyFrameStack(index)
+    from vec_vad_tpu.runtime.native_loader import make_frame_stack
+
+    frames = make_frame_stack(index)
 
     of_root = os.path.join(base, cfg.optical_flow_dir, cfg.dataset_name)
     flow = None
