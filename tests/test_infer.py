@@ -73,3 +73,19 @@ def test_fused_matches_cubeset_path():
         chunk=8,
     )
     np.testing.assert_allclose(fused, ref_scores, rtol=2e-4, atol=2e-4)
+
+    # path 3: HBM-resident 3-call path (the bench/serving design)
+    from vec_vad_tpu.infer import infer_frame_scores_resident
+
+    resident = infer_frame_scores_resident(
+        cfg,
+        {"params": blk.params, "batch_stats": blk.batch_stats},
+        (mu, sd, 1.0, 1.0),
+        ds.test_frames,
+        windows,
+        boxes_pad,
+        valid,
+        chunk=8,
+        cube_batch=16,
+    )
+    np.testing.assert_allclose(resident, ref_scores, rtol=2e-4, atol=2e-4)

@@ -25,8 +25,285 @@ import numpy as np
 
 from vec_vad_tpu.config import PipelineConfig
 from vec_vad_tpu.models.completion import SelfCompletionNet, make_completion_net
-from vec_vad_tpu.ops.stc import cube_to_input, extract_stc
+from vec_vad_tpu.ops.stc import crop_resize_cube, cube_to_input, extract_stc
 from vec_vad_tpu.score.scoring import BIG_NUMBER
+
+
+@functools.lru_cache(maxsize=32)
+def _resident_fns(
+    net: SelfCompletionNet,
+    P: int,
+    use_flow: bool,
+    cube_batch: int,
+    w_raw: float,
+    w_of: float,
+    compute_dtype,
+):
+    """Compiled phase functions for the resident path, cached so repeated
+    calls (and the warmup) reuse one executable per configuration."""
+
+    @jax.jit
+    def extract_all(fd, wins, boxes):
+        def one_chunk(args):
+            w, b = args
+            wd = jnp.take(fd, w, axis=0)
+            cubes = jax.vmap(
+                lambda ww, bb: extract_stc(ww, bb, P, quantize=True)
+            )(wd, b)
+            return cube_to_input(cubes, scale=False).astype(jnp.uint8)
+
+        return jax.lax.map(one_chunk, (wins, boxes))
+
+    @jax.jit
+    def extract_all_flow(fd, wins, boxes):
+        def one_chunk(args):
+            w, b = args
+            wd = jnp.take(fd, w, axis=0)
+            cubes = jax.vmap(
+                lambda ww, bb: extract_stc(ww, bb, P, quantize=False)
+            )(wd, b)
+            mag = jnp.mean(
+                jnp.sum(jnp.square(cubes), axis=(-3, -2, -1)), axis=-1
+            )
+            return cube_to_input(cubes, scale=False), mag
+
+        return jax.lax.map(one_chunk, (wins, boxes))
+
+    @jax.jit
+    def score_all(v, stats, cubes, flows, idx):
+        vc = jax.tree.map(lambda p: p.astype(compute_dtype), v)
+        mu_r, sd_r, mu_o, sd_o = stats
+
+        def one_batch(ii):
+            x = jnp.take(cubes, ii, axis=0).astype(compute_dtype) / 255.0
+            if use_flow:
+                x_of = jnp.take(flows, ii, axis=0).astype(compute_dtype)
+            else:
+                x_of = jnp.zeros(
+                    (cube_batch, P, P, net.tot_of_num * net.of_channels),
+                    compute_dtype,
+                )
+            out = net.apply(vc, x, x_of, False)
+            err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+            sc = jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))
+            score = w_raw * (sc - mu_r) / sd_r
+            if use_flow and out.of_out is not None:
+                oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
+                osc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
+                score = score + w_of * (osc - mu_o) / sd_o
+            return score
+
+        return jax.lax.map(one_batch, idx)
+
+    return extract_all, extract_all_flow, score_all
+
+
+def infer_frame_scores_resident(
+    cfg: PipelineConfig,
+    variables,
+    stats: Tuple[float, float, float, float],
+    frames: np.ndarray,
+    windows: np.ndarray,
+    boxes_pad: np.ndarray,
+    valid: np.ndarray,
+    flow: Optional[np.ndarray] = None,
+    of_windows: Optional[np.ndarray] = None,
+    chunk: int = 32,
+    cube_batch: int = 2048,
+    net: Optional[SelfCompletionNet] = None,
+    compute_dtype=jnp.float32,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Whole-split scoring in three device calls (HBM-resident design).
+
+    The chunked path (`infer_frame_scores`) pays a host<->device round trip
+    per chunk — expensive on remote/tunneled accelerators. Here:
+
+      phase A: lax.map over frame chunks extracts EVERY padded cube into an
+               HBM-resident (N, K, P, P, T*C) uint8 buffer (one call);
+      phase B: the valid (frame, box) pairs — known host-side from the
+               validity mask — gather their cubes flat and lax.map over
+               fixed-size cube batches runs the completion ensemble +
+               z-normalized fusion at 100%% occupancy (no padded-slot
+               waste, one call);
+      host:    segment-max into per-frame scores.
+
+    Single-block grids (h_block == w_block == 1), like the fused path.
+    """
+    mc = cfg.model
+    fc = cfg.fore
+    net = net or make_completion_net(mc)
+    P = fc.patch_size
+    n, K = valid.shape
+    use_flow = mc.use_flow and flow is not None
+
+    # -- host-side flat index set --------------------------------------
+    fid, bid = np.nonzero(valid)
+    m = fid.size
+    n_pad = -(-n // chunk) * chunk
+    frame_pad = np.concatenate([np.arange(n), np.full(n_pad - n, n - 1)])
+    m_pad = -(-max(m, 1) // cube_batch) * cube_batch
+    flat = fid * K + bid
+    flat_pad = np.concatenate([flat, np.full(m_pad - m, flat[-1] if m else 0)])
+
+    extract_all, extract_all_flow, score_all = _resident_fns(
+        net, P, use_flow, cube_batch, mc.w_raw, mc.w_of, compute_dtype
+    )
+
+    # `frames` may already be device-resident (jax.Array) — the intended
+    # steady state: upload the frame stack once, score many times.
+    frames_dev = (
+        frames if isinstance(frames, jax.Array)
+        else jax.device_put(jnp.asarray(frames))
+    )
+    win_dev = jnp.asarray(windows[frame_pad]).reshape(n_pad // chunk, chunk, -1)
+    box_dev = jnp.asarray(boxes_pad[frame_pad]).reshape(
+        n_pad // chunk, chunk, K, 4
+    )
+
+    # -- phase A: extract all cubes into HBM ---------------------------
+    cube_buf = extract_all(frames_dev, win_dev, box_dev)
+    cube_buf = cube_buf.reshape((n_pad * K,) + cube_buf.shape[3:])
+
+    if use_flow:
+        ow_dev = jnp.asarray(of_windows[frame_pad]).reshape(
+            n_pad // chunk, chunk, -1
+        )
+        flow_dev = jax.device_put(jnp.asarray(flow))
+        flow_buf, mag = extract_all_flow(flow_dev, ow_dev, box_dev)
+        flow_buf = flow_buf.reshape((n_pad * K,) + flow_buf.shape[3:])
+        mag_flat = mag.reshape(-1)
+    else:
+        flow_buf = jnp.zeros((1, P, P, net.tot_of_num * net.of_channels))
+        mag_flat = None
+
+    # -- phase B: flat scoring ----------------------------------------
+    idx_dev = jnp.asarray(flat_pad).reshape(m_pad // cube_batch, cube_batch)
+    stats_dev = tuple(jnp.asarray(s, jnp.float32) for s in stats)
+
+    scores = np.asarray(
+        score_all(variables, stats_dev, cube_buf, flow_buf, idx_dev)
+    )
+    scores = scores.reshape(-1)[:m]
+
+    # -- host: motion filter + segment max ----------------------------
+    if mag_flat is not None:
+        keep = np.asarray(mag_flat)[flat] > fc.motion_thr
+    else:
+        keep = np.ones(m, bool)
+    out = np.full(n, -big_number, dtype=np.float32)
+    np.maximum.at(out, fid[keep], scores[keep])
+    return out
+
+
+def make_flat_score_fn(
+    net: SelfCompletionNet,
+    patch_size: int,
+    w_raw: float,
+    w_of: float,
+    use_flow: bool,
+    compute_dtype=jnp.float32,
+):
+    """Flat-cube scorer: one jitted call scores a fixed-size batch of
+    (frame, box) cubes — no per-frame box padding, so zero wasted FLOPs
+    (the padded chunk path computes every frame at max_boxes capacity;
+    real datasets average ~half that).
+
+    fn(variables, stats, frames_dev, flow_dev, windows (B, T),
+       of_windows (B, T_of), boxes (B, 4)) -> (B,) fused scores.
+    """
+
+    def flat_scores(variables, stats, frames_dev, flow_dev, windows, of_windows, boxes):
+        wins = jnp.take(frames_dev, windows, axis=0)  # (B, T, H, W, 3)
+        cubes = jax.vmap(
+            lambda w, b: crop_resize_cube(w, b, patch_size, quantize=True)
+        )(wins, boxes)
+        x = cube_to_input(cubes, scale=True).astype(compute_dtype)
+
+        if use_flow:
+            fwins = jnp.take(flow_dev, of_windows, axis=0)
+            fcubes = jax.vmap(
+                lambda w, b: crop_resize_cube(w, b, patch_size, quantize=False)
+            )(fwins, boxes)
+            x_of = cube_to_input(fcubes, scale=False).astype(compute_dtype)
+        else:
+            x_of = jnp.zeros(
+                (x.shape[0], patch_size, patch_size,
+                 net.tot_of_num * net.of_channels),
+                compute_dtype,
+            )
+
+        variables_c = jax.tree.map(lambda p: p.astype(compute_dtype), variables)
+        out = net.apply(variables_c, x, x_of, False)
+        err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+        raw_sc = jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))
+        mu_r, sd_r, mu_o, sd_o = stats
+        score = w_raw * (raw_sc - mu_r) / sd_r
+        if use_flow and out.of_out is not None:
+            oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
+            of_sc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
+            score = score + w_of * (of_sc - mu_o) / sd_o
+        return score
+
+    return jax.jit(flat_scores)
+
+
+def infer_frame_scores_flat(
+    cfg: PipelineConfig,
+    variables,
+    stats: Tuple[float, float, float, float],
+    frames: np.ndarray,
+    windows: np.ndarray,
+    boxes_pad: np.ndarray,
+    valid: np.ndarray,
+    flow: Optional[np.ndarray] = None,
+    of_windows: Optional[np.ndarray] = None,
+    cube_batch: int = 1024,
+    net: Optional[SelfCompletionNet] = None,
+    compute_dtype=jnp.float32,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Frame scores via the flat-cube path (single-block grids)."""
+    mc = cfg.model
+    net = net or make_completion_net(mc)
+    fn = make_flat_score_fn(
+        net, cfg.fore.patch_size, mc.w_raw, mc.w_of,
+        mc.use_flow and flow is not None, compute_dtype,
+    )
+    n = frames.shape[0]
+    fid, bid = np.nonzero(valid)  # flat (frame, box-slot) pairs
+    flat_boxes = boxes_pad[fid, bid]
+    m = fid.size
+
+    frames_dev = jax.device_put(jnp.asarray(frames))
+    if flow is not None:
+        flow_dev = jax.device_put(jnp.asarray(flow))
+        of_win = of_windows
+    else:
+        flow_dev = jnp.zeros((1, 1, 1, 2), jnp.float32)
+        of_win = np.zeros((n, 1), np.int64)
+    stats_dev = tuple(jnp.asarray(s, jnp.float32) for s in stats)
+
+    cube_scores = np.empty(m, np.float32)
+    for lo in range(0, m, cube_batch):
+        hi = min(lo + cube_batch, m)
+        sel = np.arange(lo, hi)
+        pad = cube_batch - sel.size
+        sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
+        sc = fn(
+            variables,
+            stats_dev,
+            frames_dev,
+            flow_dev,
+            jnp.asarray(windows[fid[sel_p]]),
+            jnp.asarray(of_win[fid[sel_p]]),
+            jnp.asarray(flat_boxes[sel_p]),
+        )
+        cube_scores[lo:hi] = np.asarray(sc)[: sel.size]
+
+    out = np.full(n, -big_number, dtype=np.float32)
+    np.maximum.at(out, fid, cube_scores)
+    return out
 
 
 def make_score_chunk_fn(
@@ -36,6 +313,7 @@ def make_score_chunk_fn(
     w_of: float,
     use_flow: bool,
     motion_thr: float = 0.0,
+    compute_dtype=jnp.float32,
 ):
     """Build the jitted chunk scorer.
 
@@ -78,16 +356,17 @@ def make_score_chunk_fn(
                 (B * K, patch_size, patch_size, net.tot_of_num * net.of_channels)
             )
 
-        out = net.apply(variables, x, x_of, False)
-        raw_sc = jnp.sum(
-            jnp.square(out.raw_out - out.raw_tgt), axis=(0, 2, 3, 4)
-        )  # (B*K,)
+        x = x.astype(compute_dtype)
+        x_of = x_of.astype(compute_dtype)
+        variables_c = jax.tree.map(lambda p: p.astype(compute_dtype), variables)
+        out = net.apply(variables_c, x, x_of, False)
+        err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+        raw_sc = jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))  # (B*K,)
         mu_r, sd_r, mu_o, sd_o = stats
         score = w_raw * (raw_sc - mu_r) / sd_r
         if use_flow and out.of_out is not None:
-            of_sc = jnp.sum(
-                jnp.square(out.of_out - out.of_tgt), axis=(0, 2, 3, 4)
-            )
+            oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
+            of_sc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
             score = score + w_of * (of_sc - mu_o) / sd_o
 
         score = score.reshape(B, K)
@@ -110,6 +389,7 @@ def infer_frame_scores(
     of_windows: Optional[np.ndarray] = None,
     chunk: int = 16,
     net: Optional[SelfCompletionNet] = None,
+    compute_dtype=jnp.float32,
 ) -> np.ndarray:
     """Score every frame of a split with the fused path.
 
@@ -121,6 +401,7 @@ def infer_frame_scores(
     fn = make_score_chunk_fn(
         net, cfg.fore.patch_size, mc.w_raw, mc.w_of,
         mc.use_flow and flow is not None, cfg.fore.motion_thr,
+        compute_dtype,
     )
     n = frames.shape[0]
     frames_dev = jax.device_put(jnp.asarray(frames))
