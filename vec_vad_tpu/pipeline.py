@@ -278,12 +278,12 @@ def train_model(
         if idx.size <= 1:
             # the reference skips blocks with < 2 cubes (train.py:370)
             continue
-        raw = _to_float_raw(train_cubes.raw[idx])
+        # uint8 cube storage goes straight to the trainer (scaled on device)
         flow = (
             train_cubes.flow[idx] if train_cubes.flow is not None else None
         )
         model.blocks[key] = trainer.fit_block(
-            raw, flow, seed=seed, log_every=log_every
+            train_cubes.raw[idx], flow, seed=seed, log_every=log_every
         )
     return model
 
@@ -311,9 +311,8 @@ def score_cubes(
             # (test.py:308-310)
             scores[idx] = big_number
             continue
-        raw = _to_float_raw(test_cubes.raw[idx])
         flow = test_cubes.flow[idx] if test_cubes.flow is not None else None
-        raw_sc, of_sc = trainer.score_block(block, raw, flow)
+        raw_sc, of_sc = trainer.score_block(block, test_cubes.raw[idx], flow)
         use_of = mc.use_flow and block.of_scores is not None
         scores[idx] = fuse_scores(
             raw_sc,

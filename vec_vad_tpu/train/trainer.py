@@ -159,6 +159,36 @@ class BlockTrainer:
             out_shardings=(dat, dat),
         )
 
+        # Whole-training-run executable: lax.scan over every step with the
+        # cube set device-resident. One host->device round trip per BLOCK
+        # instead of per batch — the training analog of the resident
+        # inference path (25 ms tunnel RTT x hundreds of steps otherwise).
+        def train_scan(state: BlockModelState, raw_u8, of_buf, idx, wmask):
+            # raw_u8: (N, P, P, TC) uint8; of_buf: (N, P, P, OC) f32 or
+            # (1, ...) dummy; idx/wmask: (steps, batch)
+            def body(st, step_inputs):
+                ii, w = step_inputs
+                x = jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
+                x = jax.lax.with_sharding_constraint(x, dat)
+                if cfg.use_flow:
+                    x_of = jnp.take(of_buf, ii, axis=0)
+                else:
+                    x_of = jnp.zeros(
+                        x.shape[:-1] + (net.tot_of_num * net.of_channels,)
+                    )
+                x_of = jax.lax.with_sharding_constraint(x_of, dat)
+                st, metrics = train_step(st, x, x_of, w)
+                return st, (metrics["loss_raw"], metrics["loss_of"])
+
+            return jax.lax.scan(body, state, (idx, wmask))
+
+        self._train_scan = jax.jit(
+            train_scan,
+            in_shardings=(rep, rep, rep, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
     # -- state management ---------------------------------------------------
 
     def init_state(self, seed: int) -> BlockModelState:
@@ -183,36 +213,45 @@ class BlockTrainer:
         seed: int = 0,
         log_every: int = 0,
         segments: Optional[List[Tuple[np.ndarray, Optional[np.ndarray]]]] = None,
+        resident: Optional[bool] = None,
     ) -> TrainedBlock:
         """Train one block to convergence and collect training scores.
 
-        raw_inputs: (N, P, P, T*3) float32 in [0, 1]; of_inputs:
+        raw_inputs: (N, P, P, T*3) float32 in [0, 1] or uint8; of_inputs:
         (N, P, P, T_of*2) or None. `segments` optionally streams extra
         (raw, of) chunks per epoch after the first (the ShanghaiTech
         saveSegNum streaming pattern, train.py:292-296).
+
+        resident: run the whole training as one device-resident lax.scan
+        (default when there are no streamed segments).
         """
         cfg = self.cfg
         state = self.init_state(seed)
         rng = np.random.default_rng(seed)
         bsz = cfg.batch_size
         all_segments = [(raw_inputs, of_inputs)] + (segments or [])
+        if resident is None:
+            resident = not segments
 
-        for epoch in range(cfg.epochs):
-            for seg_raw, seg_of in all_segments:
-                n = seg_raw.shape[0]
-                order = rng.permutation(n)
-                for lo in range(0, n, bsz):
-                    sel = order[lo : lo + bsz]
-                    xb = seg_raw[sel]
-                    ob = seg_of[sel] if seg_of is not None else None
-                    state, metrics = self._step_padded(state, xb, ob)
-                    if log_every and (lo // bsz) % log_every == 0:
-                        lr = float(metrics["loss_raw"])
-                        lo_ = float(metrics["loss_of"])
-                        print(
-                            f"epoch {epoch} batch {lo // bsz}: "
-                            f"raw {lr:.5f} of {lo_:.5f}"
-                        )
+        if resident:
+            state = self._fit_resident(state, raw_inputs, of_inputs, rng, log_every)
+        else:
+            for epoch in range(cfg.epochs):
+                for seg_raw, seg_of in all_segments:
+                    n = seg_raw.shape[0]
+                    order = rng.permutation(n)
+                    for lo in range(0, n, bsz):
+                        sel = order[lo : lo + bsz]
+                        xb = seg_raw[sel]
+                        ob = seg_of[sel] if seg_of is not None else None
+                        state, metrics = self._step_padded(state, xb, ob)
+                        if log_every and (lo // bsz) % log_every == 0:
+                            lr = float(metrics["loss_raw"])
+                            lo_ = float(metrics["loss_of"])
+                            print(
+                                f"epoch {epoch} batch {lo // bsz}: "
+                                f"raw {lr:.5f} of {lo_:.5f}"
+                            )
 
         raw_scores, of_scores = [], []
         for seg_raw, seg_of in all_segments:
@@ -228,13 +267,65 @@ class BlockTrainer:
             of_scores=of_sc,
         )
 
+    def _fit_resident(
+        self, state, raw_inputs, of_inputs, rng, log_every: int
+    ) -> BlockModelState:
+        """All epochs in one compiled lax.scan over a device-resident
+        cube buffer."""
+        cfg = self.cfg
+        bsz = cfg.batch_size
+        n = raw_inputs.shape[0]
+        steps_per_epoch = -(-n // bsz)
+        idx_rows, w_rows = [], []
+        for _ in range(cfg.epochs):
+            order = rng.permutation(n)
+            pad = steps_per_epoch * bsz - n
+            idx_rows.append(np.concatenate([order, order[: pad]]))
+            w_rows.append(
+                np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+            )
+        idx = np.concatenate(idx_rows).reshape(-1, bsz).astype(np.int32)
+        wmask = np.concatenate(w_rows).reshape(-1, bsz)
+
+        if raw_inputs.dtype == np.uint8:
+            raw_u8 = raw_inputs
+        else:
+            raw_u8 = np.clip(np.round(raw_inputs * 255.0), 0, 255).astype(np.uint8)
+        of_buf = (
+            of_inputs.astype(np.float32)
+            if (cfg.use_flow and of_inputs is not None)
+            else np.zeros((1,) + raw_inputs.shape[1:-1] + (
+                self.net.tot_of_num * self.net.of_channels,), np.float32)
+        )
+        state, (loss_raw, loss_of) = self._train_scan(
+            state,
+            jnp.asarray(raw_u8),
+            jnp.asarray(of_buf),
+            jnp.asarray(idx),
+            jnp.asarray(wmask),
+        )
+        if log_every:
+            lr = np.asarray(loss_raw)
+            lo = np.asarray(loss_of)
+            for s in range(0, lr.size, max(1, log_every)):
+                print(f"step {s}: raw {lr[s]:.5f} of {lo[s]:.5f}")
+        return state
+
+    @staticmethod
+    def _as_float_input(xb) -> jnp.ndarray:
+        """uint8 cube storage -> ToTensor-scaled float input, on device."""
+        xb = jnp.asarray(xb)
+        if xb.dtype == jnp.uint8:
+            xb = xb.astype(jnp.float32) / 255.0
+        return xb
+
     def _step_padded(self, state, xb, ob):
         bsz = self.cfg.batch_size
         arrays = [xb] if ob is None else [xb, ob]
         padded, mask = pad_to_multiple(arrays, bsz)
-        xb = padded[0]
+        xb = self._as_float_input(padded[0])
         ob = padded[1] if ob is not None else self._dummy_of(xb.shape[0])
-        return self._train_step(state, jnp.asarray(xb), jnp.asarray(ob), jnp.asarray(mask))
+        return self._train_step(state, xb, jnp.asarray(ob), jnp.asarray(mask))
 
     def _dummy_of(self, n: int) -> jnp.ndarray:
         p = self.patch_size
@@ -257,9 +348,9 @@ class BlockTrainer:
             ob = of_inputs[lo : lo + bsz] if of_inputs is not None else None
             arrays = [xb] if ob is None else [xb, ob]
             padded, mask = pad_to_multiple(arrays, bsz)
-            xp = padded[0]
+            xp = self._as_float_input(padded[0])
             op = padded[1] if ob is not None else self._dummy_of(xp.shape[0])
-            r, o = self._score_step(state, jnp.asarray(xp), jnp.asarray(op))
+            r, o = self._score_step(state, xp, jnp.asarray(op))
             k = int(mask.sum())
             raws.append(np.asarray(r)[:k])
             ofs.append(np.asarray(o)[:k])
