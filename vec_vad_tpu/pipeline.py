@@ -274,6 +274,7 @@ def train_model(
 ) -> VadModel:
     trainer = trainer or make_trainer(cfg)
     model = VadModel(cfg=cfg)
+    seg = cfg.fore.save_seg_num
     for key, idx in group_by_block(train_cubes).items():
         if idx.size <= 1:
             # the reference skips blocks with < 2 cubes (train.py:370)
@@ -282,9 +283,28 @@ def train_model(
         flow = (
             train_cubes.flow[idx] if train_cubes.flow is not None else None
         )
-        model.blocks[key] = trainer.fit_block(
-            train_cubes.raw[idx], flow, seed=seed, log_every=log_every
-        )
+        if idx.size > seg:
+            # ShanghaiTech-scale blocks stream in saveSegNum-cube segments
+            # per epoch (train.py:138-143,292-296)
+            parts = [idx[lo : lo + seg] for lo in range(seg, idx.size, seg)]
+            segments = [
+                (
+                    train_cubes.raw[p],
+                    train_cubes.flow[p] if train_cubes.flow is not None else None,
+                )
+                for p in parts
+            ]
+            model.blocks[key] = trainer.fit_block(
+                train_cubes.raw[idx[:seg]],
+                train_cubes.flow[idx[:seg]] if train_cubes.flow is not None else None,
+                seed=seed,
+                log_every=log_every,
+                segments=segments,
+            )
+        else:
+            model.blocks[key] = trainer.fit_block(
+                train_cubes.raw[idx], flow, seed=seed, log_every=log_every
+            )
     return model
 
 
