@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vec_vad_tpu.models.flownet.ops import correlation_pallas, correlation_ref
+from vec_vad_tpu.models.flownet.ops import correlation
 from vec_vad_tpu.models.layers import BatchNorm
 
 
@@ -46,6 +46,22 @@ def _xavier_uniform_convT(key, shape, dtype=jnp.float32):
 
 def _unit_uniform(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, 0.0, 1.0)
+
+
+def bilinear_deconv_kernel(kh: int, kw: int, in_ch: int, out_ch: int):
+    """Bilinear-upsampling initialization for transposed-conv kernels
+    (capability parity with init_deconv_bilinear, components/misc.py:65-78):
+    channel i -> i carries the separable bilinear tent filter, cross
+    channels zero. Returns an HWIO (kh, kw, in, out) array."""
+    f = np.ceil(kw / 2.0)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    xs = np.arange(kw) / f
+    ys = np.arange(kh) / f
+    tent = (1 - np.abs(ys - c))[:, None] * (1 - np.abs(xs - c))[None, :]
+    k = np.zeros((kh, kw, in_ch, out_ch), np.float32)
+    for i in range(min(in_ch, out_ch)):
+        k[:, :, i, i] = tent
+    return jnp.asarray(k)
 
 
 class TorchConv(nn.Module):
@@ -172,12 +188,9 @@ class FlowNetC(nn.Module):
         c2b = self.conv2(c1b, train)
         c3b = self.conv3(c2b, train)
 
-        if self.use_pallas_correlation:
-            corr = correlation_pallas(
-                c3a, c3b, 20, 2, interpret=self.interpret_pallas
-            )
-        else:
-            corr = correlation_ref(c3a, c3b, 20, 2)
+        corr = correlation(
+            c3a, c3b, 20, 2, self.use_pallas_correlation, self.interpret_pallas
+        )
         corr = nn.leaky_relu(corr, 0.1)
         redir = self.conv_redir(c3a, train)
 

@@ -135,6 +135,29 @@ def correlation_pallas(
     )(a, b)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def correlation(a, b, max_disp=20, stride=2, use_pallas=False, interpret=False):
+    """Differentiable cost volume: Pallas forward (optional) with the
+    jnp formulation's autodiff as the VJP — the hand-written CUDA backward
+    kernels' equivalent (correlation_cuda_kernel.cu:108-290)."""
+    if use_pallas:
+        return correlation_pallas(a, b, max_disp, stride, interpret=interpret)
+    return correlation_ref(a, b, max_disp, stride)
+
+
+def _correlation_fwd(a, b, max_disp, stride, use_pallas, interpret):
+    return correlation(a, b, max_disp, stride, use_pallas, interpret), (a, b)
+
+
+def _correlation_bwd(max_disp, stride, use_pallas, interpret, res, g):
+    a, b = res
+    _, vjp = jax.vjp(lambda x, y: correlation_ref(x, y, max_disp, stride), a, b)
+    return vjp(g)
+
+
+correlation.defvjp(_correlation_fwd, _correlation_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Backward warp (Resample2d)
 # ---------------------------------------------------------------------------
