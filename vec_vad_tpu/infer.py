@@ -25,7 +25,7 @@ import numpy as np
 
 from vec_vad_tpu.config import PipelineConfig
 from vec_vad_tpu.models.completion import SelfCompletionNet, make_completion_net
-from vec_vad_tpu.ops.stc import crop_resize_cube, cube_to_input, extract_stc
+from vec_vad_tpu.ops.stc import cube_to_input, extract_stc
 from vec_vad_tpu.score.scoring import BIG_NUMBER
 
 
@@ -193,116 +193,6 @@ def infer_frame_scores_resident(
         keep = np.ones(m, bool)
     out = np.full(n, -big_number, dtype=np.float32)
     np.maximum.at(out, fid[keep], scores[keep])
-    return out
-
-
-def make_flat_score_fn(
-    net: SelfCompletionNet,
-    patch_size: int,
-    w_raw: float,
-    w_of: float,
-    use_flow: bool,
-    compute_dtype=jnp.float32,
-):
-    """Flat-cube scorer: one jitted call scores a fixed-size batch of
-    (frame, box) cubes — no per-frame box padding, so zero wasted FLOPs
-    (the padded chunk path computes every frame at max_boxes capacity;
-    real datasets average ~half that).
-
-    fn(variables, stats, frames_dev, flow_dev, windows (B, T),
-       of_windows (B, T_of), boxes (B, 4)) -> (B,) fused scores.
-    """
-
-    def flat_scores(variables, stats, frames_dev, flow_dev, windows, of_windows, boxes):
-        wins = jnp.take(frames_dev, windows, axis=0)  # (B, T, H, W, 3)
-        cubes = jax.vmap(
-            lambda w, b: crop_resize_cube(w, b, patch_size, quantize=True)
-        )(wins, boxes)
-        x = cube_to_input(cubes, scale=True).astype(compute_dtype)
-
-        if use_flow:
-            fwins = jnp.take(flow_dev, of_windows, axis=0)
-            fcubes = jax.vmap(
-                lambda w, b: crop_resize_cube(w, b, patch_size, quantize=False)
-            )(fwins, boxes)
-            x_of = cube_to_input(fcubes, scale=False).astype(compute_dtype)
-        else:
-            x_of = jnp.zeros(
-                (x.shape[0], patch_size, patch_size,
-                 net.tot_of_num * net.of_channels),
-                compute_dtype,
-            )
-
-        variables_c = jax.tree.map(lambda p: p.astype(compute_dtype), variables)
-        out = net.apply(variables_c, x, x_of, False)
-        err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
-        raw_sc = jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))
-        mu_r, sd_r, mu_o, sd_o = stats
-        score = w_raw * (raw_sc - mu_r) / sd_r
-        if use_flow and out.of_out is not None:
-            oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
-            of_sc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
-            score = score + w_of * (of_sc - mu_o) / sd_o
-        return score
-
-    return jax.jit(flat_scores)
-
-
-def infer_frame_scores_flat(
-    cfg: PipelineConfig,
-    variables,
-    stats: Tuple[float, float, float, float],
-    frames: np.ndarray,
-    windows: np.ndarray,
-    boxes_pad: np.ndarray,
-    valid: np.ndarray,
-    flow: Optional[np.ndarray] = None,
-    of_windows: Optional[np.ndarray] = None,
-    cube_batch: int = 1024,
-    net: Optional[SelfCompletionNet] = None,
-    compute_dtype=jnp.float32,
-    big_number: float = BIG_NUMBER,
-) -> np.ndarray:
-    """Frame scores via the flat-cube path (single-block grids)."""
-    mc = cfg.model
-    net = net or make_completion_net(mc)
-    fn = make_flat_score_fn(
-        net, cfg.fore.patch_size, mc.w_raw, mc.w_of,
-        mc.use_flow and flow is not None, compute_dtype,
-    )
-    n = frames.shape[0]
-    fid, bid = np.nonzero(valid)  # flat (frame, box-slot) pairs
-    flat_boxes = boxes_pad[fid, bid]
-    m = fid.size
-
-    frames_dev = jax.device_put(jnp.asarray(frames))
-    if flow is not None:
-        flow_dev = jax.device_put(jnp.asarray(flow))
-        of_win = of_windows
-    else:
-        flow_dev = jnp.zeros((1, 1, 1, 2), jnp.float32)
-        of_win = np.zeros((n, 1), np.int64)
-    stats_dev = tuple(jnp.asarray(s, jnp.float32) for s in stats)
-
-    cube_scores = np.empty(m, np.float32)
-    for lo in range(0, m, cube_batch):
-        hi = min(lo + cube_batch, m)
-        sel = np.arange(lo, hi)
-        pad = cube_batch - sel.size
-        sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
-        sc = fn(
-            variables,
-            stats_dev,
-            frames_dev,
-            flow_dev,
-            jnp.asarray(windows[fid[sel_p]]),
-            jnp.asarray(of_win[fid[sel_p]]),
-            jnp.asarray(flat_boxes[sel_p]),
-        )
-        cube_scores[lo:hi] = np.asarray(sc)[: sel.size]
-
-    out = np.full(n, -big_number, dtype=np.float32)
-    np.maximum.at(out, fid, cube_scores)
     return out
 
 

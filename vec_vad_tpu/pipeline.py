@@ -259,12 +259,6 @@ def make_trainer(cfg: PipelineConfig, mesh=None) -> BlockTrainer:
     return BlockTrainer(net, cfg.model, mesh, cfg.fore.patch_size)
 
 
-def _to_float_raw(raw_u8: np.ndarray) -> np.ndarray:
-    """uint8 cube storage -> ToTensor-scaled [0, 1] float input
-    (vad_datasets.py:12-14)."""
-    return raw_u8.astype(np.float32) / 255.0
-
-
 def train_model(
     cfg: PipelineConfig,
     train_cubes: CubeSet,
