@@ -1,0 +1,77 @@
+"""Disk-workspace runner: train -> artifacts -> test -> AUROC + curves,
+through the same INI config surface as the reference scripts."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vec_vad_tpu.config import load_ini_config
+from vec_vad_tpu.data.synthetic import make_synthetic_dataset
+from vec_vad_tpu.runner import run_test, run_train
+
+CFG = """
+[shared_parameters]
+dataset_name = UCSDped2
+raw_dataset_dir = raw_datasets
+foreground_extraction_mode = obj_det_with_motion
+data_root_dir = data
+modality = raw2flow
+method = SelfComplete
+
+[UCSDped2]
+patch_size=16
+h_block=1
+w_block=1
+motionThr = 0
+
+[SelfComplete]
+border_mode = predict
+epochs = 2
+batch_size = 16
+nf = 4
+useFlow = False
+context_frame_num = 4
+context_of_num = 0
+rawRange = 10
+padding = False
+lambda_raw = 1.0
+lambda_of = 1.0
+w_raw = 1
+w_of = 1
+"""
+
+
+def test_runner_end_to_end(tmp_path):
+    base = str(tmp_path)
+    make_synthetic_dataset(
+        root=os.path.join(base, "raw_datasets", "UCSDped2"),
+        frames_per_video=16, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=4, write_to_disk=True,
+    )
+    cfg_path = os.path.join(base, "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    cfg = load_ini_config(cfg_path)
+
+    model, path = run_train(cfg, base)
+    assert os.path.exists(path)
+    assert len(model.blocks) >= 1
+
+    res = run_test(cfg, base, model=model, save_masks=True)
+    assert 0.0 <= res["auroc"] <= 1.0
+    assert os.path.exists(res["results_path"])
+    masks = np.load(os.path.join(base, "results", "UCSDped2", "score_masks.npy"))
+    assert masks.shape[0] == res["frame_scores"].shape[0]
+
+    # reload-from-disk path (model=None)
+    res2 = run_test(cfg, base)
+    np.testing.assert_allclose(res2["frame_scores"], res["frame_scores"], rtol=1e-5)
+
+    # the foreground cache is reused: artifacts dir has exactly one
+    # train + one test foreground file
+    arts = os.listdir(os.path.join(base, "data", "raw2flow"))
+    assert sum(a.startswith("foreground_train") for a in arts) == 1
+    assert sum(a.startswith("foreground_test") for a in arts) == 1

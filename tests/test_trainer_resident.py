@@ -39,6 +39,21 @@ def test_resident_matches_stepwise(rng):
     )
 
 
+def test_score_scan_matches_stepwise(rng):
+    cfg = CompletionConfig(
+        nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+    )
+    net = make_completion_net(cfg)
+    trainer = BlockTrainer(net, cfg, get_mesh(), patch_size=16)
+    state = trainer.init_state(0)
+    raw = rng.integers(0, 256, (21, 16, 16, 15)).astype(np.uint8)
+    of = rng.normal(size=(21, 16, 16, 2)).astype(np.float32)
+    r1, o1 = trainer.score_block(state, raw, of, resident=True)
+    r2, o2 = trainer.score_block(state, raw, of, resident=False)
+    np.testing.assert_allclose(r1, r2, rtol=1e-5)
+    np.testing.assert_allclose(o1, o2, rtol=1e-5)
+
+
 def test_resident_handles_partial_batches(rng):
     cfg = CompletionConfig(
         nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=False

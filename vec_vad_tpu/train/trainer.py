@@ -189,6 +189,29 @@ class BlockTrainer:
             donate_argnums=(0,),
         )
 
+        # Whole-split scoring in one call (same rationale as train_scan).
+        def make_score_scan(scale: bool):
+            def score_scan(state: BlockModelState, raw_buf, of_buf, idx):
+                def body(ii):
+                    x = jnp.take(raw_buf, ii, axis=0).astype(jnp.float32)
+                    if scale:
+                        x = x / 255.0
+                    if cfg.use_flow:
+                        x_of = jnp.take(of_buf, ii, axis=0)
+                    else:
+                        x_of = jnp.zeros(
+                            x.shape[:-1]
+                            + (net.tot_of_num * net.of_channels,)
+                        )
+                    return score_step(state, x, x_of)
+
+                return jax.lax.map(body, idx)
+
+            return jax.jit(score_scan, in_shardings=(rep, rep, rep, rep))
+
+        self._score_scan_u8 = make_score_scan(True)
+        self._score_scan_f32 = make_score_scan(False)
+
     # -- state management ---------------------------------------------------
 
     def init_state(self, seed: int) -> BlockModelState:
@@ -337,11 +360,41 @@ class BlockTrainer:
         raw_inputs: np.ndarray,
         of_inputs: Optional[np.ndarray],
         batch_size: Optional[int] = None,
+        resident: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Eval-mode per-cube (raw, of) scores, in input order."""
         state = self._as_state(state_or_block)
         bsz = batch_size or self.cfg.batch_size
         n = raw_inputs.shape[0]
+        if resident and n > 0:
+            # one device call: cube buffer resident, lax.map over batches
+            n_pad = -(-n // bsz) * bsz
+            idx = np.concatenate(
+                [np.arange(n), np.zeros(n_pad - n, np.int64)]
+            ).reshape(-1, bsz)
+            of_buf = (
+                of_inputs.astype(np.float32)
+                if (self.cfg.use_flow and of_inputs is not None)
+                else np.zeros(
+                    (1,) + raw_inputs.shape[1:-1]
+                    + (self.net.tot_of_num * self.net.of_channels,),
+                    np.float32,
+                )
+            )
+            scan = (
+                self._score_scan_u8
+                if raw_inputs.dtype == np.uint8
+                else self._score_scan_f32
+            )
+            r, o = scan(
+                state, jnp.asarray(raw_inputs), jnp.asarray(of_buf),
+                jnp.asarray(idx),
+            )
+            return (
+                np.asarray(r).reshape(-1)[:n],
+                np.asarray(o).reshape(-1)[:n],
+            )
+
         raws, ofs = [], []
         for lo in range(0, n, bsz):
             xb = raw_inputs[lo : lo + bsz]
