@@ -21,7 +21,7 @@ stronger flax detector through the same protocol when weights exist.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Flow UNets use inc_of / inc_of{i} etc. (unet.py:161-170,360-408).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vec_vad_tpu.config import DatasetSpec, ForegroundConfig, PipelineConfig
+from vec_vad_tpu.config import DatasetSpec, PipelineConfig
 from vec_vad_tpu.data.video_index import VideoIndex
 from vec_vad_tpu.models.completion import make_completion_net
 from vec_vad_tpu.ops.stc import cube_to_input, extract_stc, pad_boxes

@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from vec_vad_tpu.config import DATASETS, PipelineConfig
+from vec_vad_tpu.config import PipelineConfig
 from vec_vad_tpu.data.readers import (
     LazyFlowStack,
     LazyFrameStack,

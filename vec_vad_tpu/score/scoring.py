@@ -79,3 +79,65 @@ def splat_score_masks(
         region = masks[f, y0[m] : y1[m], x0[m] : x1[m]]
         np.maximum(region, cube_scores[m], out=region)
     return masks
+
+
+def splat_score_masks_device(
+    cube_scores: np.ndarray,
+    boxes: np.ndarray,
+    frame_ids: np.ndarray,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+    big_number: float = BIG_NUMBER,
+    frame_chunk: int = 64,
+) -> np.ndarray:
+    """Vectorized device splat: per-pixel max over each frame's boxes via
+    broadcasted box-membership masks, chunked over frames. Same output as
+    splat_score_masks; use when pixel-criterion evaluation runs at scale.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = frame_hw
+    # bucket cubes by frame into a padded (n_frames, K) layout
+    order = np.argsort(frame_ids, kind="stable")
+    fids = frame_ids[order]
+    counts = np.bincount(fids, minlength=n_frames)
+    K = max(int(counts.max()), 1) if counts.size else 1
+    slot = np.zeros_like(fids)
+    if fids.size:
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        slot = np.arange(fids.size) - starts[fids]
+    sc_pad = np.full((n_frames, K), -big_number, np.float32)
+    bx_pad = np.zeros((n_frames, K, 4), np.float32)
+    sc_pad[fids, slot] = cube_scores[order]
+    bx_pad[fids, slot] = boxes[order]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def splat_chunk(sc, bx):
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        x0 = jnp.ceil(bx[..., 0]).astype(jnp.int32)
+        y0 = jnp.ceil(bx[..., 1]).astype(jnp.int32)
+        x1 = jnp.ceil(bx[..., 2]).astype(jnp.int32)
+        y1 = jnp.ceil(bx[..., 3]).astype(jnp.int32)
+        inside = (
+            (xs[None, None] >= x0[..., None, None])
+            & (xs[None, None] < x1[..., None, None])
+            & (ys[None, None] >= y0[..., None, None])
+            & (ys[None, None] < y1[..., None, None])
+        )  # (B, K, h, w)
+        vals = jnp.where(inside, sc[..., None, None], -big_number)
+        return jnp.max(vals, axis=1)  # (B, h, w)
+
+    out = np.empty((n_frames, h, w), np.float32)
+    for lo in range(0, n_frames, frame_chunk):
+        hi = min(lo + frame_chunk, n_frames)
+        pad = frame_chunk - (hi - lo)
+        sel = np.r_[np.arange(lo, hi), np.full(pad, max(n_frames - 1, 0))]
+        res = np.asarray(
+            splat_chunk(jnp.asarray(sc_pad[sel]), jnp.asarray(bx_pad[sel]))
+        )
+        out[lo:hi] = res[: hi - lo]
+    return out

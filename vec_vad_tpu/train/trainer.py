@@ -19,7 +19,7 @@ mask (masked batch-mean == torch MSELoss mean over the partial batch).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ prediction/target pairs with JET error heatmaps.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
