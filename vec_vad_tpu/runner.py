@@ -106,10 +106,16 @@ def _extract_cached(
     cfg: PipelineConfig, base: str, split: str, data: SplitData, block_mode: int
 ) -> CubeSet:
     cache = ArtifactCache(os.path.join(base, cfg.data_root_dir, cfg.modality))
+    # Box CONTENT must be part of the key: re-detected boxes with the same
+    # per-frame counts would otherwise serve a stale cube cache.
+    boxes_blob = (
+        np.concatenate([np.asarray(b, np.float64).reshape(-1) for b in data.boxes])
+        if data.boxes else np.zeros(0)
+    )
     fp = fingerprint(
         cfg.fore, cfg.model.context_frame_num, cfg.model.context_of_num,
         cfg.model.border_mode, split, block_mode, data.index.total_frames,
-        len(data.boxes),
+        boxes_blob, data.flow is not None,
     )
 
     def compute():
