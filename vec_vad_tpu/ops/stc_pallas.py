@@ -88,10 +88,10 @@ def _stc_kernel(
     meta_ref,     # (4, M) f32 (ch, cw, dy, x0)
     # tensor refs
     frames_ref,   # (N, C, H, W) uint8 in ANY/HBM
-    out_ref,      # (1, T, C, P, P) f32 block (this cube)
+    out_ref,      # (1, CPB, T, C, P, P) f32 block (this program's cubes)
     # scratch
-    stripe_buf,   # (T, C, STRIPE, W) uint8 VMEM
-    sems,         # DMA semaphores (T,)
+    stripe_buf,   # (CPB, T, C, STRIPE, W) uint8 VMEM
+    sems,         # DMA semaphores (CPB, T)
     *,
     T: int,
     C: int,
@@ -99,48 +99,57 @@ def _stc_kernel(
     stripe: int,
     W: int,
     quantize: bool,
+    cpb: int,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    m = pl.program_id(0)
-    # prepare_cube_meta 8-aligns the stripe start; tell Mosaic so the
-    # dynamic DMA offset provably matches the (8, 128) tiling
-    y0c = pl.multiple_of(org_ref[0, m], 8)
+    g = pl.program_id(0)
 
+    # Issue every cube's stripe DMAs up front so transfers overlap both
+    # each other and the per-cube compute below.
     copies = []
-    for t in range(T):
-        dma = pltpu.make_async_copy(
-            frames_ref.at[win_ref[t, m], :, pl.ds(y0c, stripe), :],
-            stripe_buf.at[t],
-            sems.at[t],
-        )
-        dma.start()
-        copies.append(dma)
+    for j in range(cpb):
+        m = g * cpb + j
+        # prepare_cube_meta 8-aligns the stripe start; tell Mosaic so the
+        # dynamic DMA offset provably matches the (8, 128) tiling
+        y0c = pl.multiple_of(org_ref[0, m], 8)
+        for t in range(T):
+            dma = pltpu.make_async_copy(
+                frames_ref.at[win_ref[t, m], :, pl.ds(y0c, stripe), :],
+                stripe_buf.at[j, t],
+                sems.at[j, t],
+            )
+            dma.start()
+            copies.append(dma)
 
-    ch = meta_ref[0, m]
-    cw = meta_ref[1, m]
-    dy = meta_ref[2, m]
-    x0 = meta_ref[3, m]
-    my = _interp_rows(ch, dy, P, stripe)  # (P, STRIPE)
-    mx = _interp_rows(cw, x0, P, W)  # (P, W)
+    for j in range(cpb):
+        m = g * cpb + j
+        ch = meta_ref[0, m]
+        cw = meta_ref[1, m]
+        dy = meta_ref[2, m]
+        x0 = meta_ref[3, m]
+        my = _interp_rows(ch, dy, P, stripe)  # (P, STRIPE)
+        mx = _interp_rows(cw, x0, P, W)  # (P, W)
+        for t in range(T):
+            copies[j * T + t].wait()
+            for c in range(C):
+                # Mosaic has no direct uint8 -> f32 cast; hop via int32.
+                win = stripe_buf[j, t, c].astype(jnp.int32).astype(jnp.float32)
+                patch = jnp.dot(
+                    jnp.dot(my, win, preferred_element_type=jnp.float32),
+                    mx.T,
+                    preferred_element_type=jnp.float32,
+                )  # (P, P)
+                if quantize:
+                    patch = jnp.round(patch)
+                out_ref[0, j, t, c] = patch
 
-    for t in range(T):
-        copies[t].wait()
-        for c in range(C):
-            # Mosaic has no direct uint8 -> f32 cast; hop through int32.
-            win = stripe_buf[t, c].astype(jnp.int32).astype(jnp.float32)
-            patch = jnp.dot(
-                jnp.dot(my, win, preferred_element_type=jnp.float32),
-                mx.T,
-                preferred_element_type=jnp.float32,
-            )  # (P, P)
-            if quantize:
-                patch = jnp.round(patch)
-            out_ref[0, t, c] = patch
 
-
-def _extract_call(frames_chw, win_idx, origins, meta, P, max_crop, quantize, interpret):
+def _extract_call(
+    frames_chw, win_idx, origins, meta, P, max_crop, quantize, interpret,
+    cpb: int = 8,
+):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -148,32 +157,39 @@ def _extract_call(frames_chw, win_idx, origins, meta, P, max_crop, quantize, int
     M, T = win_idx.shape
     stripe = max_crop + 8
     assert H >= stripe, (H, stripe)
+    cpb = min(cpb, M)
+    while M % cpb:  # largest divisor of M not exceeding the requested cpb
+        cpb -= 1
     win_t = win_idx.T          # (T, M)
     org_t = origins.T          # (1, M)
     meta_t = meta.T            # (4, M)
 
     kernel = functools.partial(
-        _stc_kernel, T=T, C=C, P=P, stripe=stripe, W=W, quantize=quantize
+        _stc_kernel, T=T, C=C, P=P, stripe=stripe, W=W, quantize=quantize,
+        cpb=cpb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(M,),
+        grid=(M // cpb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, T, C, P, P), lambda m, *_: (m, 0, 0, 0, 0),
+            (1, cpb, T, C, P, P), lambda g, *_: (g, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((T, C, stripe, W), jnp.uint8),
-            pltpu.SemaphoreType.DMA((T,)),
+            pltpu.VMEM((cpb, T, C, stripe, W), jnp.uint8),
+            pltpu.SemaphoreType.DMA((cpb, T)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M, T, C, P, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (M // cpb, cpb, T, C, P, P), jnp.float32
+        ),
         interpret=interpret,
     )(win_t, org_t, meta_t, frames_chw)
+    return out.reshape(M, T, C, P, P)
 
 
 @functools.partial(
