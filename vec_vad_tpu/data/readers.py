@@ -174,6 +174,23 @@ def _shanghaitech_frame_labels(root: str, index: VideoIndex) -> np.ndarray:
     return (np.concatenate(parts, axis=0) > 0).astype(np.int64)
 
 
+def dataset_mean_std(frames) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-channel mean/std of a frame source in [0, 1] scale (capability
+    parity with get_mean_and_std, helper/misc.py:23-37); streams in chunks
+    so lazy sources work."""
+    n = frames.shape[0]
+    s = np.zeros(frames.shape[-1])
+    s2 = np.zeros(frames.shape[-1])
+    cnt = 0
+    for lo in range(0, n, 64):
+        x = np.asarray(frames[lo : lo + 64]).astype(np.float64) / 255.0
+        s += x.sum(axis=(0, 1, 2))
+        s2 += (x ** 2).sum(axis=(0, 1, 2))
+        cnt += x.shape[0] * x.shape[1] * x.shape[2]
+    mean = s / cnt
+    return mean, np.sqrt(np.maximum(s2 / cnt - mean ** 2, 0.0))
+
+
 def load_frame_labels(dataset_name: str, root: str, index: VideoIndex) -> np.ndarray:
     """Per-frame binary anomaly labels for the test split.
 
