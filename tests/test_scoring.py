@@ -44,6 +44,19 @@ def test_device_splat_empty_frames():
     assert (out == -100000.0).all()
 
 
+def test_per_video_normalization():
+    from vec_vad_tpu.score.scoring import normalize_scores_per_video
+
+    scores = np.array([1.0, 3.0, 2.0, -100000.0, 10.0, 20.0])
+    fvi = np.array([1, 1, 1, 2, 2, 2])
+    out = normalize_scores_per_video(scores, fvi)
+    np.testing.assert_allclose(out[:3], [0.0, 1.0, 0.5])
+    np.testing.assert_allclose(out[3:], [0.0, 0.0, 1.0])
+    # single-valued video -> zeros, no div-by-zero
+    out2 = normalize_scores_per_video(np.array([5.0, 5.0]), np.array([1, 1]))
+    np.testing.assert_allclose(out2, [0.0, 0.0])
+
+
 def test_fuse_scores():
     raw = np.array([10.0, 20.0])
     of = np.array([5.0, 7.0])

@@ -173,8 +173,14 @@ def run_test(
     base: str,
     model: Optional[VadModel] = None,
     save_masks: bool = False,
+    per_video_norm: bool = False,
 ) -> dict:
-    """Scoring + evaluation; returns a result dict with AUROC etc."""
+    """Scoring + evaluation; returns a result dict with AUROC etc.
+
+    per_video_norm: min-max normalize frame scores within each video before
+    AUROC (optional evaluation variant; the reference normalizes only by
+    training statistics).
+    """
     if model is None:
         path = os.path.join(
             base, cfg.data_root_dir, cfg.modality,
@@ -195,6 +201,13 @@ def run_test(
             cube_scores, cubes, n, cfg.dataset.frame_hw
         )
         np.save(os.path.join(results_dir, "score_masks.npy"), masks)
+
+    if per_video_norm:
+        from vec_vad_tpu.score.scoring import normalize_scores_per_video
+
+        frame_scores = normalize_scores_per_video(
+            frame_scores, data.index.frame_video_idx
+        )
 
     root = _dataset_root(cfg, base)
     labels = load_frame_labels(cfg.dataset_name, root, data.index)

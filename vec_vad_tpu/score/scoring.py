@@ -55,6 +55,33 @@ def frame_scores_from_cubes(
     return out
 
 
+def normalize_scores_per_video(
+    frame_scores: np.ndarray,
+    frame_video_idx: np.ndarray,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Min-max normalize frame scores within each video.
+
+    An optional evaluation variant common in the VAD literature (the
+    reference itself normalizes only by training-score statistics); frames
+    with no cubes (score -big_number) map to 0 and are excluded from each
+    video's min/max.
+    """
+    out = np.zeros_like(frame_scores, dtype=np.float64)
+    for v in np.unique(frame_video_idx):
+        sel = frame_video_idx == v
+        s = frame_scores[sel].astype(np.float64)
+        valid = s > -big_number
+        if valid.any():
+            lo, hi = s[valid].min(), s[valid].max()
+            rng = hi - lo if hi > lo else 1.0
+            s = np.where(valid, (s - lo) / rng, 0.0)
+        else:
+            s = np.zeros_like(s)
+        out[sel] = s
+    return out
+
+
 def splat_score_masks(
     cube_scores: np.ndarray,
     boxes: np.ndarray,
