@@ -51,10 +51,26 @@ def cmd_test(args) -> int:
     from vec_vad_tpu.runner import run_test
 
     cfg = _load_cfg(args)
-    res = run_test(cfg, args.base, save_masks=args.save_masks)
+    res = run_test(
+        cfg, args.base, save_masks=args.save_masks,
+        per_video_norm=args.per_video_norm,
+    )
     print(f"frame-level AUROC: {res['auroc']:.4f}")
     print(f"curves -> {res['results_path']}")
     return 0
+
+
+def cmd_demo(args) -> int:
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "synthetic_e2e.py",
+    )
+    spec = importlib.util.spec_from_file_location("synthetic_e2e", path)
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    return demo.main()
 
 
 def cmd_calc_flow(args) -> int:
@@ -109,7 +125,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("test", help="score the test split + AUROC")
     _add_common(p)
     p.add_argument("--save-masks", action="store_true")
+    p.add_argument("--per-video-norm", action="store_true")
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("demo", help="end-to-end demo on a synthetic dataset")
+    p.set_defaults(fn=cmd_demo)
 
     p = sub.add_parser("calc-flow", help="precompute FlowNet2 optical flow")
     _add_common(p)
