@@ -93,6 +93,47 @@ def test_two_stream_pipeline(h_block, w_block):
         assert np.isfinite(cs).all()
 
 
+def test_grid_resident_path_matches_cubeset_path():
+    """infer_frame_scores_grid (resident multi-block fast path) must match
+    the step-by-step score_cubes + frame max on a 2x2 grid."""
+    from vec_vad_tpu.infer import infer_frame_scores_grid
+
+    ds = make_synthetic_dataset(
+        frames_per_video=20, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=6,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(
+            patch_size=16, max_boxes_per_frame=8, h_block=2, w_block=2
+        ),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+        ),
+    )
+    tr_idx = VideoIndex(["v"], ds.train_video_lengths)
+    tr_flow = _pseudo_flow(ds.train_frames)
+    cubes = extract_cube_set(
+        cfg, SPEC, tr_idx, ds.train_frames, ds.train_boxes, flow_frames=tr_flow
+    )
+    trainer = make_trainer(cfg)
+    model = train_model(cfg, cubes, trainer=trainer)
+
+    te_idx = VideoIndex(["v"], ds.test_video_lengths)
+    tc = extract_cube_set(
+        cfg, SPEC, te_idx, ds.test_frames, ds.test_boxes,
+        flow_frames=_pseudo_flow(ds.test_frames),
+        block_mode=cfg.fore.test_block_mode,
+    )
+    ref = frame_level_scores(
+        score_cubes(model, tc, trainer=trainer), tc, te_idx.total_frames
+    )
+    fast = infer_frame_scores_grid(
+        model, tc, te_idx.total_frames, cube_batch=16
+    )
+    np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_motion_threshold_filters_static_cubes():
     ds = make_synthetic_dataset(
         frames_per_video=12, n_train_videos=1, n_test_videos=1, seed=2

@@ -196,6 +196,73 @@ def infer_frame_scores_resident(
     return out
 
 
+def infer_frame_scores_grid(
+    model,
+    test_cubes,
+    n_frames: int,
+    trainer=None,
+    cube_batch: int = 2048,
+    compute_dtype=jnp.float32,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Frame scores for a MULTI-BLOCK model grid with the resident design.
+
+    Uses an extracted CubeSet (pipeline.extract_cube_set) — cubes already
+    routed to (scene, h, w) cells — and runs one resident score_all pass
+    per trained block, so h_block x w_block grids get the same
+    few-device-calls treatment as the single-block fast path. Cubes in
+    untrained blocks score big_number (test.py:308-310).
+    """
+    from vec_vad_tpu.pipeline import VadModel, group_by_block
+
+    assert isinstance(model, VadModel)
+    cfg = model.cfg
+    mc = cfg.model
+    net = make_completion_net(mc)
+    P = cfg.fore.patch_size
+    use_flow = mc.use_flow and test_cubes.flow is not None
+    _, _, score_all = _resident_fns(
+        net, P, use_flow, cube_batch, mc.w_raw, mc.w_of, compute_dtype
+    )
+
+    cube_scores = np.full(test_cubes.size, big_number, dtype=np.float32)
+    cubes_dev = jax.device_put(jnp.asarray(test_cubes.raw))
+    flow_dev = (
+        jax.device_put(jnp.asarray(test_cubes.flow))
+        if use_flow
+        else jnp.zeros((1, P, P, net.tot_of_num * net.of_channels))
+    )
+    for key, idx in group_by_block(test_cubes).items():
+        blk = model.blocks.get(key)
+        if blk is None:
+            continue  # stays big_number
+        m = idx.size
+        m_pad = -(-m // cube_batch) * cube_batch
+        idx_pad = np.concatenate([idx, np.full(m_pad - m, idx[-1])])
+        mu_r, sd_r = blk.raw_stats
+        of_stats = blk.of_stats if use_flow else None
+        stats = tuple(
+            jnp.asarray(s, jnp.float32)
+            for s in (
+                mu_r, sd_r,
+                of_stats[0] if of_stats else 1.0,
+                of_stats[1] if of_stats else 1.0,
+            )
+        )
+        variables = {"params": blk.params, "batch_stats": blk.batch_stats}
+        sc = np.asarray(
+            score_all(
+                variables, stats, cubes_dev, flow_dev,
+                jnp.asarray(idx_pad).reshape(-1, cube_batch),
+            )
+        ).reshape(-1)[:m]
+        cube_scores[idx] = sc
+
+    out = np.full(n_frames, -big_number, dtype=np.float32)
+    np.maximum.at(out, test_cubes.frame_ids, cube_scores)
+    return out
+
+
 def make_score_chunk_fn(
     net: SelfCompletionNet,
     patch_size: int,
