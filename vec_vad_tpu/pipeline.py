@@ -83,7 +83,9 @@ def _extract_chunk(frames_dev, windows, boxes, patch_size):
     cubes = jax.vmap(
         lambda w, b: extract_stc(w, b, patch_size, quantize=True)
     )(wins, boxes)
-    return cube_to_input(cubes, scale=False)
+    # uint8 on device: the reference's cube storage format, and 4x less
+    # device->host transfer per chunk
+    return jnp.clip(cube_to_input(cubes, scale=False), 0, 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("patch_size",))
@@ -122,7 +124,16 @@ def extract_cube_set(
     assert frames.shape[0] == n
     block_mode = block_mode or fc.train_block_mode
 
-    boxes_pad, valid = pad_boxes(boxes_list, fc.max_boxes_per_frame)
+    # pad only to this split's real peak box count (rounded up) — the
+    # configured capacity is an upper bound, not the working shape
+    peak = max((np.asarray(b).reshape(-1, 4).shape[0] for b in boxes_list), default=1)
+    k_eff = min(fc.max_boxes_per_frame, max(-(-peak // 8) * 8, 8))
+    if peak > fc.max_boxes_per_frame:
+        raise ValueError(
+            f"a frame has {peak} boxes > max_boxes_per_frame="
+            f"{fc.max_boxes_per_frame}"
+        )
+    boxes_pad, valid = pad_boxes(boxes_list, k_eff)
     raw_windows = index.context_indices(mc.context_frame_num, mc.border_mode)
     if raw_windows.ndim == 1:
         raw_windows = raw_windows[:, None]
@@ -181,7 +192,7 @@ def extract_cube_set(
         else:
             # no flow modality: motion filter passes everything
             # (train.py:177-178)
-            mag = np.full((sel.size, fc.max_boxes_per_frame), 10000.0)
+            mag = np.full((sel.size, k_eff), 10000.0)
 
         for j, f in enumerate(sel):
             kmax = int(valid[f].sum())
@@ -214,7 +225,7 @@ def extract_cube_set(
             scenes=np.zeros(0, np.int64),
         )
     return CubeSet(
-        raw=np.clip(np.stack(raw_rows), 0, 255).astype(np.uint8),
+        raw=np.stack(raw_rows),  # already uint8 from the device
         flow=np.stack(flow_rows).astype(np.float32) if flow_rows else None,
         frame_ids=np.array(frame_ids, np.int64),
         boxes=np.stack(box_rows).astype(np.float32),
