@@ -110,7 +110,7 @@ def extract_cube_set(
     boxes_list: List[np.ndarray],
     flow_frames: Optional[np.ndarray] = None,
     block_mode: Optional[int] = None,
-    chunk: int = 32,
+    chunk: int = 128,
 ) -> CubeSet:
     """Run the foreground-extraction stage for a whole split.
 
