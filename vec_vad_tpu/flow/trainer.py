@@ -41,8 +41,9 @@ class FlowTrainer:
         self.net = net
         self.tx = optax.adam(learning_rate)
         self.mesh = mesh or get_mesh()
-        rep = replicated_sharding(self.mesh)
-        dat = data_sharding(self.mesh)
+        multi = self.mesh.devices.size > 1
+        rep = replicated_sharding(self.mesh) if multi else None
+        dat = data_sharding(self.mesh) if multi else None
 
         def loss_fn(params, pairs, target):
             pyramid = net.apply({"params": params}, pairs, True)
@@ -60,12 +61,16 @@ class FlowTrainer:
                 {"loss": loss, "epe": epe_v},
             )
 
-        self._train_step = jax.jit(
-            train_step,
-            in_shardings=(rep, dat, dat),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
+        if multi:
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, dat, dat),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        else:
+            # sharding annotations are pure overhead on one device
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._n_devices = self.mesh.devices.size
 
     def init_state(self, example_pairs: np.ndarray, seed: int = 0) -> FlowTrainState:
