@@ -93,7 +93,16 @@ int decode_png_file(const char* path, uint8_t* out, int h, int w) {
   if (!f) return -1;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return -5;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return -5;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -155,6 +164,7 @@ struct Pool {
   std::atomic<int> next{0};
   std::atomic<int> done{0};
   std::atomic<int> errors{0};
+  std::atomic<int> in_flight{0};  // workers still inside a batch's loop
   bool stop = false;
 
   explicit Pool(int n_threads) {
@@ -178,6 +188,7 @@ struct Pool {
         cv_work.wait(lk, [&] { return stop || gen != seen; });
         if (stop) return;
         seen = gen;
+        in_flight.fetch_add(1);
       }
       for (;;) {
         int i = next.fetch_add(1);
@@ -187,8 +198,17 @@ struct Pool {
         if (done.fetch_add(1) + 1 == n) {
           std::lock_guard<std::mutex> lk(mu);
           batch_done = true;
-          cv_done.notify_all();
+          // don't notify yet: run() also waits for stragglers to leave
         }
+      }
+      {
+        // a worker may reach here AFTER batch_done (its fetch_add lost the
+        // race for the final item); run() must not reset batch state until
+        // every worker has left this loop, or the straggler's fetch_add
+        // would index the NEXT batch's arrays
+        std::lock_guard<std::mutex> lk(mu);
+        in_flight.fetch_sub(1);
+        cv_done.notify_all();
       }
     }
   }
@@ -196,7 +216,9 @@ struct Pool {
   int run(const char* const* p, int count, uint8_t* o, int hh, int ww) {
     if (count == 0) return 0;
     {
-      std::lock_guard<std::mutex> lk(mu);
+      std::unique_lock<std::mutex> lk(mu);
+      // wait out stragglers from the previous batch before mutating state
+      cv_done.wait(lk, [this] { return in_flight.load() == 0; });
       paths = p;
       out = o;
       n = count;
@@ -211,7 +233,9 @@ struct Pool {
     cv_work.notify_all();
     {
       std::unique_lock<std::mutex> lk(mu);
-      cv_done.wait(lk, [this] { return batch_done; });
+      cv_done.wait(lk, [this] {
+        return batch_done && in_flight.load() == 0;
+      });
     }
     return errors.load();
   }
@@ -249,6 +273,7 @@ struct Prefetcher {
   std::thread th;
   bool pending = false;
   int pending_count = 0;
+  std::atomic<int> pending_errors{0};
 
   Prefetcher(const char* const* p, int n, int chunk_, int h_, int w_,
              int threads)
@@ -274,18 +299,22 @@ struct Prefetcher {
     for (int i = 0; i < count; ++i) ptrs[i] = paths[pos + i].c_str();
     pos += count;
     th = std::thread([this, ptrs = std::move(ptrs), count]() mutable {
-      pool.run(ptrs.data(), count, buf_next.data(), h, w);
+      pending_errors.store(
+          pool.run(ptrs.data(), count, buf_next.data(), h, w));
     });
   }
 
   // Wait for the in-flight chunk, copy into out, start the next one.
+  // Returns the chunk size, 0 at end of stream, or -errors when any frame
+  // in the chunk failed to decode (buffer contents are then unreliable).
   int next(uint8_t* out) {
     if (!pending) return 0;
     th.join();
     int count = pending_count;
+    int errs = pending_errors.load();
     memcpy(out, buf_next.data(), (size_t)count * h * w * 3);
     kick();
-    return count;
+    return errs > 0 ? -errs : count;
   }
 };
 

@@ -2,11 +2,11 @@
 
 Replicates calc_optical_flow.py:25-85 exactly, but batched and
 device-resident:
-  * frame pairs come from ctx=1 'hard' context windows; at a video's first
-    frame the pair is (frames[0], frames[1]) and elsewhere
-    (window[1], window[2]) = (frame t, frame t+1) — so every frame gets
-    flow(t -> t+1) except the last, which gets flow(t-1 -> t)
-    (calc_optical_flow.py:43-76)
+  * frame pairs come from ctx=1 'hard' context windows; at a video's FIRST
+    frame the boundary branch picks window positions (0, 1) of the
+    duplicated window [0, 0, 1] — the pair (f0, f0), i.e. intentional ZERO
+    flow; the last frame pairs (N-2, N-1); mid-video frame t pairs
+    (t, t+1) (calc_optical_flow.py:43-76, an intentional reference quirk)
   * both frames resize to 512x384 (cv2 bilinear), grayscale replicates to
     3 channels, FlowNet2 runs, and the flow resizes back to the original
     (w, h) WITHOUT magnitude rescaling (the reference's quirk)

@@ -117,7 +117,12 @@ def compute_foreground_bboxes(
     out: List[np.ndarray] = []
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        win = frames[windows[lo:hi]]  # (B, 3, H, W, C)
+        # decode the chunk's frame range ONCE and gather the 3-frame windows
+        # from it (fancy-indexing a lazy frame source would decode every
+        # frame ~3 times)
+        f_lo = max(lo - 1, 0)
+        block = np.asarray(frames[f_lo : min(hi + 1, n)])
+        win = block[windows[lo:hi] - f_lo]  # (B, 3, H, W, C)
         maps = np.asarray(
             motion_maps(
                 jnp.asarray(win), spec.mt_gauss_mask_size, int(spec.mt_binary_thr)

@@ -125,8 +125,17 @@ def _detect_batch(net, params, frames, top_k):
     cy = (iy + of[..., 1]) * STRIDE
     bw = jnp.maximum(sz[..., 0], 0.0) * STRIDE
     bh = jnp.maximum(sz[..., 1], 0.0) * STRIDE
+    H, W = frames.shape[1:3]
+    # clip to the frame like mmdet does — downstream crop-resize assumes
+    # in-frame boxes (the reference's numpy crop clamps implicitly)
     boxes = jnp.stack(
-        [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+        [
+            jnp.clip(cx - bw / 2, 0.0, W),
+            jnp.clip(cy - bh / 2, 0.0, H),
+            jnp.clip(cx + bw / 2, 0.0, W),
+            jnp.clip(cy + bh / 2, 0.0, H),
+        ],
+        axis=-1,
     )
     return boxes, scores
 

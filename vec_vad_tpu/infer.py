@@ -25,7 +25,7 @@ import numpy as np
 
 from vec_vad_tpu.config import PipelineConfig
 from vec_vad_tpu.models.completion import SelfCompletionNet, make_completion_net
-from vec_vad_tpu.ops.stc import cube_to_input, extract_stc
+from vec_vad_tpu.ops.stc import cube_to_input, extract_stc, flow_magnitude
 from vec_vad_tpu.score.scoring import BIG_NUMBER
 
 
@@ -62,9 +62,7 @@ def _resident_fns(
             cubes = jax.vmap(
                 lambda ww, bb: extract_stc(ww, bb, P, quantize=False)
             )(wd, b)
-            mag = jnp.mean(
-                jnp.sum(jnp.square(cubes), axis=(-3, -2, -1)), axis=-1
-            )
+            mag = flow_magnitude(cubes)
             return cube_to_input(cubes, scale=False), mag
 
         return jax.lax.map(one_chunk, (wins, boxes))
@@ -186,11 +184,14 @@ def infer_frame_scores_resident(
     )
     scores = scores.reshape(-1)[:m]
 
-    # -- host: motion filter + segment max ----------------------------
+    # -- host: motion filter + degenerate-splat filter + segment max ---
+    from vec_vad_tpu.score.scoring import degenerate_boxes
+
     if mag_flat is not None:
         keep = np.asarray(mag_flat)[flat] > fc.motion_thr
     else:
         keep = np.ones(m, bool)
+    keep &= ~degenerate_boxes(boxes_pad[fid, bid])
     out = np.full(n, -big_number, dtype=np.float32)
     np.maximum.at(out, fid[keep], scores[keep])
     return out
@@ -258,8 +259,11 @@ def infer_frame_scores_grid(
         ).reshape(-1)[:m]
         cube_scores[idx] = sc
 
+    from vec_vad_tpu.score.scoring import degenerate_boxes
+
+    keep = ~degenerate_boxes(test_cubes.boxes)
     out = np.full(n_frames, -big_number, dtype=np.float32)
-    np.maximum.at(out, test_cubes.frame_ids, cube_scores)
+    np.maximum.at(out, test_cubes.frame_ids[keep], cube_scores[keep])
     return out
 
 
@@ -302,9 +306,7 @@ def make_score_chunk_fn(
             fcubes = jax.vmap(
                 lambda w, b: extract_stc(w, b, patch_size, quantize=False)
             )(fwins, boxes)  # (B, K, T_of, P, P, 2)
-            mag = jnp.mean(
-                jnp.sum(jnp.square(fcubes), axis=(-3, -2, -1)), axis=-1
-            )  # (B, K)
+            mag = flow_magnitude(fcubes)  # (B, K)
             x_of = cube_to_input(fcubes, scale=False)
             x_of = x_of.reshape((B * K,) + x_of.shape[2:])
         else:
@@ -327,7 +329,12 @@ def make_score_chunk_fn(
             score = score + w_of * (of_sc - mu_o) / sd_o
 
         score = score.reshape(B, K)
-        keep = valid & (mag > motion_thr)
+        # a cube whose ceil-box splats zero pixels never reaches the
+        # reference's mask max (test.py:354-356)
+        nonempty = (jnp.ceil(boxes[..., 2]) > jnp.ceil(boxes[..., 0])) & (
+            jnp.ceil(boxes[..., 3]) > jnp.ceil(boxes[..., 1])
+        )
+        keep = valid & nonempty & (mag > motion_thr)
         score = jnp.where(keep, score, -BIG_NUMBER)
         return jnp.max(score, axis=1)  # (B,)
 

@@ -29,7 +29,12 @@ import numpy as np
 from vec_vad_tpu.config import DatasetSpec, PipelineConfig
 from vec_vad_tpu.data.video_index import VideoIndex
 from vec_vad_tpu.models.completion import make_completion_net
-from vec_vad_tpu.ops.stc import cube_to_input, extract_stc, pad_boxes
+from vec_vad_tpu.ops.stc import (
+    cube_to_input,
+    extract_stc,
+    flow_magnitude,
+    pad_boxes,
+)
 from vec_vad_tpu.parallel.mesh import get_mesh
 from vec_vad_tpu.score.scoring import (
     BIG_NUMBER,
@@ -96,9 +101,7 @@ def _extract_chunk_float(frames_dev, windows, boxes, patch_size):
     cubes = jax.vmap(
         lambda w, b: extract_stc(w, b, patch_size, quantize=False)
     )(wins, boxes)
-    mag = jnp.mean(
-        jnp.sum(jnp.square(cubes), axis=(-3, -2, -1)), axis=-1
-    )  # (B, K)
+    mag = flow_magnitude(cubes)  # (B, K)
     return cube_to_input(cubes, scale=False), mag
 
 
@@ -163,10 +166,18 @@ def extract_cube_set(
         # device (windows are contiguous ranges around the chunk, so large
         # datasets never need to be HBM/host-RAM resident at once; `frames`
         # may be a lazy on-disk source). The span is fixed per chunk size so
-        # every chunk reuses one compiled executable.
+        # every chunk reuses one compiled executable. Elastic windows SLIDE
+        # (up to 2*ctx each way) to stay inside a video, so their bound is
+        # wider than predict/hard's.
         w = raw_windows[sel_p]
-        span = min(n, chunk + 2 * mc.context_frame_num + 1)
+        slack = 4 if mc.border_mode == "elastic" else 2
+        span = min(n, chunk + slack * mc.context_frame_num + 1)
         f_lo = max(0, min(int(w.min()), n - span))
+        if int(w.max()) >= f_lo + span:  # fail loudly, never clamp silently
+            raise AssertionError(
+                f"window span overflow: max index {int(w.max())} outside "
+                f"[{f_lo}, {f_lo + span})"
+            )
         frames_dev = jnp.asarray(np.asarray(frames[f_lo : f_lo + span]))
         raw_cubes = np.asarray(
             _extract_chunk(
@@ -178,8 +189,13 @@ def extract_cube_set(
         )[: sel.size]
         if flow_frames is not None:
             ow = of_windows[sel_p]
-            span_of = min(n, chunk + 2 * mc.context_of_num + 1)
+            span_of = min(n, chunk + slack * mc.context_of_num + 1)
             o_lo = max(0, min(int(ow.min()), n - span_of))
+            if int(ow.max()) >= o_lo + span_of:
+                raise AssertionError(
+                    f"flow window span overflow: {int(ow.max())} outside "
+                    f"[{o_lo}, {o_lo + span_of})"
+                )
             flow_dev = jnp.asarray(np.asarray(flow_frames[o_lo : o_lo + span_of]))
             flow_cubes, mag = _extract_chunk_float(
                 flow_dev,
@@ -285,9 +301,6 @@ def train_model(
             # the reference skips blocks with < 2 cubes (train.py:370)
             continue
         # uint8 cube storage goes straight to the trainer (scaled on device)
-        flow = (
-            train_cubes.flow[idx] if train_cubes.flow is not None else None
-        )
         if idx.size > seg:
             # ShanghaiTech-scale blocks stream in saveSegNum-cube segments
             # per epoch (train.py:138-143,292-296)
@@ -307,6 +320,11 @@ def train_model(
                 segments=segments,
             )
         else:
+            # flow is sliced only on this branch: the segment branch above
+            # must not materialize a full-block flow copy it never reads
+            flow = (
+                train_cubes.flow[idx] if train_cubes.flow is not None else None
+            )
             model.blocks[key] = trainer.fit_block(
                 train_cubes.raw[idx], flow, seed=seed, log_every=log_every
             )
@@ -357,7 +375,8 @@ def frame_level_scores(
     big_number: float = BIG_NUMBER,
 ) -> np.ndarray:
     return frame_scores_from_cubes(
-        cube_scores, test_cubes.frame_ids, n_frames, big_number
+        cube_scores, test_cubes.frame_ids, n_frames, big_number,
+        boxes=test_cubes.boxes,
     )
 
 

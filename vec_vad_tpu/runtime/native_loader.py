@@ -188,6 +188,8 @@ class NativePrefetcher:
             )
             if n == 0:
                 return
+            if n < 0:
+                raise IOError(f"{-n} frame(s) failed native decode in chunk")
             yield out[:n]
 
     def __del__(self):

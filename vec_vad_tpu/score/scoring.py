@@ -42,15 +42,33 @@ def fuse_scores(
     return fused
 
 
+def degenerate_boxes(boxes: np.ndarray) -> np.ndarray:
+    """Boxes whose integer-ceil crop region is empty. The reference still
+    scores such cubes but their mask splat covers zero pixels
+    (test.py:354-356), so they never influence the frame max."""
+    x0 = np.ceil(boxes[:, 0])
+    y0 = np.ceil(boxes[:, 1])
+    x1 = np.ceil(boxes[:, 2])
+    y1 = np.ceil(boxes[:, 3])
+    return (x1 <= x0) | (y1 <= y0)
+
+
 def frame_scores_from_cubes(
     cube_scores: np.ndarray,
     frame_ids: np.ndarray,
     n_frames: int,
     big_number: float = BIG_NUMBER,
+    boxes: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-frame max over cube scores; frames with no cubes get -big_number
-    (the untouched mask init, test.py:276)."""
+    (the untouched mask init, test.py:276). When `boxes` are given, cubes
+    with an empty splat region are excluded — matching the pixel-mask max
+    exactly."""
     out = np.full(n_frames, -big_number, dtype=np.float64)
+    if boxes is not None:
+        keep = ~degenerate_boxes(np.asarray(boxes))
+        cube_scores = cube_scores[keep]
+        frame_ids = frame_ids[keep]
     np.maximum.at(out, frame_ids, cube_scores)
     return out
 
