@@ -134,6 +134,69 @@ def test_grid_resident_path_matches_cubeset_path():
     np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_resident_path_with_flow_matches_cubeset_path():
+    """The HBM-resident fast path's use_flow branch (flow extraction, flow
+    targets, fused z-norm) must match the step-by-step CubeSet path."""
+    from vec_vad_tpu.infer import infer_frame_scores_resident
+    from vec_vad_tpu.ops.stc import pad_boxes
+
+    ds = make_synthetic_dataset(
+        frames_per_video=16, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=8,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=8),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+        ),
+    )
+    tr_idx = VideoIndex(["v"], ds.train_video_lengths)
+    tr_flow = _pseudo_flow(ds.train_frames)
+    cubes = extract_cube_set(
+        cfg, SPEC, tr_idx, ds.train_frames, ds.train_boxes, flow_frames=tr_flow
+    )
+    trainer = make_trainer(cfg)
+    model = train_model(cfg, cubes, trainer=trainer)
+    blk = model.blocks[(0, 0, 0)]
+
+    te_idx = VideoIndex(["v"], ds.test_video_lengths)
+    te_flow = _pseudo_flow(ds.test_frames)
+    tc = extract_cube_set(
+        cfg, SPEC, te_idx, ds.test_frames, ds.test_boxes,
+        flow_frames=te_flow, block_mode=cfg.fore.test_block_mode,
+    )
+    ref = frame_level_scores(
+        score_cubes(model, tc, trainer=trainer), tc, te_idx.total_frames
+    )
+
+    boxes_pad, valid = pad_boxes(ds.test_boxes, 8)
+    windows = te_idx.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+    of_windows = te_idx.context_indices(
+        cfg.model.context_of_num, cfg.model.border_mode
+    )
+    if of_windows.ndim == 1:
+        of_windows = of_windows[:, None]
+    mu_r, sd_r = blk.raw_stats
+    mu_o, sd_o = blk.of_stats
+    fast = infer_frame_scores_resident(
+        cfg,
+        {"params": blk.params, "batch_stats": blk.batch_stats},
+        (mu_r, sd_r, mu_o, sd_o),
+        ds.test_frames,
+        windows,
+        boxes_pad,
+        valid,
+        flow=te_flow,
+        of_windows=of_windows,
+        chunk=8,
+        cube_batch=16,
+    )
+    np.testing.assert_allclose(fast, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_motion_threshold_filters_static_cubes():
     ds = make_synthetic_dataset(
         frames_per_video=12, n_train_videos=1, n_test_videos=1, seed=2
