@@ -235,6 +235,12 @@ class BlockTrainer:
         x = jnp.zeros((1, p, p, self.net.tot_raw_num * self.net.raw_channels))
         x_of = jnp.zeros((1, p, p, self.net.tot_of_num * self.net.of_channels))
         variables = self.net.init(jax.random.key(seed), x, x_of, False)
+        return self.state_from_variables(variables)
+
+    def state_from_variables(self, variables) -> BlockModelState:
+        """Fresh optimizer state around given model variables — e.g. weights
+        transplanted from the reference torch model via
+        models.completion_convert (parity experiments, checkpoint import)."""
         params = variables["params"]
         return BlockModelState(
             params=params,
@@ -253,6 +259,7 @@ class BlockTrainer:
         log_every: int = 0,
         segments: Optional[List[Tuple[np.ndarray, Optional[np.ndarray]]]] = None,
         resident: Optional[bool] = None,
+        init_state: Optional[BlockModelState] = None,
     ) -> TrainedBlock:
         """Train one block to convergence and collect training scores.
 
@@ -265,7 +272,7 @@ class BlockTrainer:
         (default when there are no streamed segments).
         """
         cfg = self.cfg
-        state = self.init_state(seed)
+        state = init_state if init_state is not None else self.init_state(seed)
         rng = np.random.default_rng(seed)
         bsz = cfg.batch_size
         all_segments = [(raw_inputs, of_inputs)] + (segments or [])
