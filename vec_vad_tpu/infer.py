@@ -209,57 +209,55 @@ def infer_frame_scores_grid(
     """Frame scores for a MULTI-BLOCK model grid with the resident design.
 
     Uses an extracted CubeSet (pipeline.extract_cube_set) — cubes already
-    routed to (scene, h, w) cells — and runs one resident score_all pass
-    per trained block, so h_block x w_block grids get the same
-    few-device-calls treatment as the single-block fast path. Cubes in
-    untrained blocks score big_number (test.py:308-310).
+    routed to (scene, h, w) cells — and scores EVERY trained block in one
+    stacked device call (GridTrainer.score_blocks, block axis sharded over
+    the mesh), so the device-call count is O(1) in the number of blocks.
+    Cubes in untrained blocks score big_number (test.py:308-310).
     """
     from vec_vad_tpu.pipeline import VadModel, group_by_block
+    from vec_vad_tpu.score.scoring import degenerate_boxes, fuse_scores
+    from vec_vad_tpu.train.grid_trainer import GridTrainer
 
     assert isinstance(model, VadModel)
     cfg = model.cfg
     mc = cfg.model
-    net = make_completion_net(mc)
-    P = cfg.fore.patch_size
+    if trainer is None:
+        from vec_vad_tpu.pipeline import make_trainer
+
+        trainer = make_trainer(cfg)
     use_flow = mc.use_flow and test_cubes.flow is not None
-    _, _, score_all = _resident_fns(
-        net, P, use_flow, cube_batch, mc.w_raw, mc.w_of, compute_dtype
-    )
 
     cube_scores = np.full(test_cubes.size, big_number, dtype=np.float32)
-    cubes_dev = jax.device_put(jnp.asarray(test_cubes.raw))
-    flow_dev = (
-        jax.device_put(jnp.asarray(test_cubes.flow))
-        if use_flow
-        else jnp.zeros((1, P, P, net.tot_of_num * net.of_channels))
-    )
-    for key, idx in group_by_block(test_cubes).items():
-        blk = model.blocks.get(key)
-        if blk is None:
-            continue  # stays big_number
-        m = idx.size
-        m_pad = -(-m // cube_batch) * cube_batch
-        idx_pad = np.concatenate([idx, np.full(m_pad - m, idx[-1])])
-        mu_r, sd_r = blk.raw_stats
-        of_stats = blk.of_stats if use_flow else None
-        stats = tuple(
-            jnp.asarray(s, jnp.float32)
-            for s in (
-                mu_r, sd_r,
-                of_stats[0] if of_stats else 1.0,
-                of_stats[1] if of_stats else 1.0,
+    trained = {
+        k: v
+        for k, v in group_by_block(test_cubes).items()
+        if model.blocks.get(k) is not None
+    }
+    if trained:
+        gt = GridTrainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
+        block_data = [
+            (
+                key,
+                test_cubes.raw[idx],
+                test_cubes.flow[idx] if use_flow else None,
             )
+            for key, idx in trained.items()
+        ]
+        per_block = gt.score_blocks(
+            model.blocks, block_data, batch_size=cube_batch
         )
-        variables = {"params": blk.params, "batch_stats": blk.batch_stats}
-        sc = np.asarray(
-            score_all(
-                variables, stats, cubes_dev, flow_dev,
-                jnp.asarray(idx_pad).reshape(-1, cube_batch),
+        for key, idx in trained.items():
+            blk = model.blocks[key]
+            raw_sc, of_sc = per_block[key]
+            use_of = use_flow and blk.of_scores is not None
+            cube_scores[idx] = fuse_scores(
+                raw_sc,
+                of_sc if use_of else None,
+                blk.raw_stats,
+                blk.of_stats if use_of else None,
+                mc.w_raw,
+                mc.w_of,
             )
-        ).reshape(-1)[:m]
-        cube_scores[idx] = sc
-
-    from vec_vad_tpu.score.scoring import degenerate_boxes
 
     keep = ~degenerate_boxes(test_cubes.boxes)
     out = np.full(n_frames, -big_number, dtype=np.float32)

@@ -292,11 +292,43 @@ def train_model(
     trainer: Optional[BlockTrainer] = None,
     seed: int = 0,
     log_every: int = 0,
+    parallel_blocks: Optional[bool] = None,
 ) -> VadModel:
+    """Train the per-(scene, h, w) block grid.
+
+    parallel_blocks: train all blocks concurrently over the mesh (GridTrainer
+    vmap/shard fan-out) instead of the reference's sequential block loop
+    (train.py:270-296). Default: automatic — parallel whenever more than one
+    block is eligible and none needs segment streaming.
+    """
+    groups = group_by_block(train_cubes)
+    seg = cfg.fore.save_seg_num
+    eligible = {k: v for k, v in groups.items() if v.size > 1}
+    if parallel_blocks is None:
+        parallel_blocks = len(eligible) > 1 and all(
+            v.size <= seg for v in eligible.values()
+        )
+
+    if parallel_blocks and eligible:
+        from vec_vad_tpu.train.grid_trainer import GridTrainer
+
+        base = trainer or make_trainer(cfg)
+        gt = GridTrainer(base.net, cfg.model, base.mesh, cfg.fore.patch_size)
+        block_data = [
+            (
+                key,
+                train_cubes.raw[idx],
+                train_cubes.flow[idx] if train_cubes.flow is not None else None,
+            )
+            for key, idx in eligible.items()
+        ]
+        model = VadModel(cfg=cfg)
+        model.blocks = gt.fit_blocks(block_data, seed=seed, log_every=log_every)
+        return model
+
     trainer = trainer or make_trainer(cfg)
     model = VadModel(cfg=cfg)
-    seg = cfg.fore.save_seg_num
-    for key, idx in group_by_block(train_cubes).items():
+    for key, idx in groups.items():
         if idx.size <= 1:
             # the reference skips blocks with < 2 cubes (train.py:370)
             continue
@@ -342,18 +374,54 @@ def score_cubes(
     trainer: Optional[BlockTrainer] = None,
     big_number: float = BIG_NUMBER,
 ) -> np.ndarray:
-    """Fused, z-normalized anomaly score per test cube (test.py:269-348)."""
+    """Fused, z-normalized anomaly score per test cube (test.py:269-348).
+
+    Multi-block grids score every block in one stacked device call
+    (GridTrainer.score_blocks) instead of the reference's per-(frame, block)
+    forward loop."""
     cfg = model.cfg
     trainer = trainer or make_trainer(cfg)
     mc = cfg.model
     scores = np.zeros(test_cubes.size, dtype=np.float64)
-    for key, idx in group_by_block(test_cubes).items():
-        block = model.blocks.get(key)
-        if block is None:
+    groups = group_by_block(test_cubes)
+    trained = {
+        k: v for k, v in groups.items() if model.blocks.get(k) is not None
+    }
+    for key, idx in groups.items():
+        if key not in trained:
             # objects in a block never seen in training -> anomaly
             # (test.py:308-310)
             scores[idx] = big_number
-            continue
+
+    if len(trained) > 1:
+        from vec_vad_tpu.train.grid_trainer import GridTrainer
+
+        gt = GridTrainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
+        block_data = [
+            (
+                key,
+                test_cubes.raw[idx],
+                test_cubes.flow[idx] if test_cubes.flow is not None else None,
+            )
+            for key, idx in trained.items()
+        ]
+        per_block = gt.score_blocks(model.blocks, block_data)
+        for key, idx in trained.items():
+            raw_sc, of_sc = per_block[key]
+            block = model.blocks[key]
+            use_of = mc.use_flow and block.of_scores is not None
+            scores[idx] = fuse_scores(
+                raw_sc,
+                of_sc if use_of else None,
+                block.raw_stats,
+                block.of_stats if use_of else None,
+                mc.w_raw,
+                mc.w_of,
+            )
+        return scores
+
+    for key, idx in trained.items():
+        block = model.blocks[key]
         flow = test_cubes.flow[idx] if test_cubes.flow is not None else None
         raw_sc, of_sc = trainer.score_block(block, test_cubes.raw[idx], flow)
         use_of = mc.use_flow and block.of_scores is not None

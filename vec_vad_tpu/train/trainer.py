@@ -81,6 +81,65 @@ def _cube_scores(err: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))
 
 
+def make_loss_fn(net: SelfCompletionNet, cfg: CompletionConfig):
+    """Training loss closure shared by the single-block and grid trainers."""
+
+    def loss_fn(params, batch_stats, x, x_of, w):
+        out, mutated = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, x_of, True, mutable=["batch_stats"],
+        )
+        loss_raw = _masked_mean_sq(out.raw_out - out.raw_tgt, w)
+        if cfg.use_flow and out.of_out is not None:
+            loss_of = _masked_mean_sq(out.of_out - out.of_tgt, w)
+            loss = cfg.lambda_raw * loss_raw + cfg.lambda_of * loss_of
+        else:
+            loss_of = jnp.zeros(())
+            loss = loss_raw
+        return loss, (mutated["batch_stats"], loss_raw, loss_of)
+
+    return loss_fn
+
+
+def make_train_step(net: SelfCompletionNet, cfg: CompletionConfig, tx):
+    """One Adam step on one batch (train.py:383-402 semantics)."""
+    loss_fn = make_loss_fn(net, cfg)
+
+    def train_step(state: BlockModelState, x, x_of, w):
+        grads, (new_bs, loss_raw, loss_of) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, x_of, w
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss_raw": loss_raw, "loss_of": loss_of}
+
+    return train_step
+
+
+def make_score_step(net: SelfCompletionNet, cfg: CompletionConfig):
+    """Eval-mode per-cube (raw, of) score batch (train.py:412-427)."""
+
+    def score_step(state: BlockModelState, x, x_of):
+        out = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, x_of, False,
+        )
+        raw = _cube_scores(out.raw_out - out.raw_tgt)
+        if cfg.use_flow and out.of_out is not None:
+            of = _cube_scores(out.of_out - out.of_tgt)
+        else:
+            of = jnp.zeros_like(raw)
+        return raw, of
+
+    return score_step
+
+
 class BlockTrainer:
     """Compiles and runs training/scoring for completion-net blocks."""
 
@@ -122,45 +181,8 @@ class BlockTrainer:
                 return jax.jit(fn, in_shardings=in_s, out_shardings=out_s, **kw)
             return jax.jit(fn, **kw)
 
-        def loss_fn(params, batch_stats, x, x_of, w):
-            out, mutated = net.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x, x_of, True, mutable=["batch_stats"],
-            )
-            loss_raw = _masked_mean_sq(out.raw_out - out.raw_tgt, w)
-            if cfg.use_flow and out.of_out is not None:
-                loss_of = _masked_mean_sq(out.of_out - out.of_tgt, w)
-                loss = cfg.lambda_raw * loss_raw + cfg.lambda_of * loss_of
-            else:
-                loss_of = jnp.zeros(())
-                loss = loss_raw
-            return loss, (mutated["batch_stats"], loss_raw, loss_of)
-
-        def train_step(state: BlockModelState, x, x_of, w):
-            grads, (new_bs, loss_raw, loss_of) = jax.grad(
-                loss_fn, has_aux=True
-            )(state.params, state.batch_stats, x, x_of, w)
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                params=new_params,
-                batch_stats=new_bs,
-                opt_state=new_opt,
-                step=state.step + 1,
-            )
-            return new_state, {"loss_raw": loss_raw, "loss_of": loss_of}
-
-        def score_step(state: BlockModelState, x, x_of):
-            out = net.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x, x_of, False,
-            )
-            raw = _cube_scores(out.raw_out - out.raw_tgt)
-            if cfg.use_flow and out.of_out is not None:
-                of = _cube_scores(out.of_out - out.of_tgt)
-            else:
-                of = jnp.zeros_like(raw)
-            return raw, of
+        train_step = make_train_step(net, cfg, tx)
+        score_step = make_score_step(net, cfg)
 
         self._train_step = sharded_jit(
             train_step,
