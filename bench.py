@@ -73,7 +73,9 @@ def main() -> None:
     # the full end-to-end scoring of all 2010 frames / ~35k cubes.
     import jax.numpy as jnp
 
-    frames_dev = jax.device_put(jnp.asarray(frames))
+    # device_put on the numpy array directly: device_put(jnp.asarray(x))
+    # TRANSFERS TWICE over the tunnel (measured 140 s vs 47 s for 661 MB)
+    frames_dev = jax.device_put(frames)
     np.asarray(frames_dev[0, 0, 0, 0])  # force the upload to finish
     kwargs = dict(
         cfg=cfg, variables=variables, stats=stats, frames=frames_dev,

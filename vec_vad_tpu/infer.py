@@ -152,7 +152,7 @@ def infer_frame_scores_resident(
     # steady state: upload the frame stack once, score many times.
     frames_dev = (
         frames if isinstance(frames, jax.Array)
-        else jax.device_put(jnp.asarray(frames))
+        else jax.device_put(np.asarray(frames))
     )
     win_dev = jnp.asarray(windows[frame_pad]).reshape(n_pad // chunk, chunk, -1)
     box_dev = jnp.asarray(boxes_pad[frame_pad]).reshape(
@@ -167,7 +167,7 @@ def infer_frame_scores_resident(
         ow_dev = jnp.asarray(of_windows[frame_pad]).reshape(
             n_pad // chunk, chunk, -1
         )
-        flow_dev = jax.device_put(jnp.asarray(flow))
+        flow_dev = jax.device_put(np.asarray(flow))
         flow_buf, mag = extract_all_flow(flow_dev, ow_dev, box_dev)
         flow_buf = flow_buf.reshape((n_pad * K,) + flow_buf.shape[3:])
         mag_flat = mag.reshape(-1)
@@ -366,9 +366,9 @@ def infer_frame_scores(
         compute_dtype,
     )
     n = frames.shape[0]
-    frames_dev = jax.device_put(jnp.asarray(frames))
+    frames_dev = jax.device_put(np.asarray(frames))
     if flow is not None:
-        flow_dev = jax.device_put(jnp.asarray(flow))
+        flow_dev = jax.device_put(np.asarray(flow))
     else:
         flow_dev = jnp.zeros((1, 1, 1, 2), jnp.float32)
         of_windows = np.zeros((n, 1), np.int64)

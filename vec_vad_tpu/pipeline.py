@@ -250,6 +250,174 @@ def extract_cube_set(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _resident_extract_fns(patch_size: int):
+    """Whole-split extraction executables (one per patch size): frames stay
+    in HBM, lax.map walks frame chunks, cubes land in an HBM buffer."""
+
+    @jax.jit
+    def extract_all(fd, wins, boxes):
+        def one_chunk(args):
+            w, b = args
+            wd = jnp.take(fd, w, axis=0)
+            cubes = jax.vmap(
+                lambda ww, bb: extract_stc(ww, bb, patch_size, quantize=True)
+            )(wd, b)
+            return cube_to_input(cubes, scale=False).astype(jnp.uint8)
+
+        return jax.lax.map(one_chunk, (wins, boxes))
+
+    @jax.jit
+    def extract_all_flow(fd, wins, boxes):
+        def one_chunk(args):
+            w, b = args
+            wd = jnp.take(fd, w, axis=0)
+            cubes = jax.vmap(
+                lambda ww, bb: extract_stc(ww, bb, patch_size, quantize=False)
+            )(wd, b)
+            return cube_to_input(cubes, scale=False), flow_magnitude(cubes)
+
+        return jax.lax.map(one_chunk, (wins, boxes))
+
+    @jax.jit
+    def gather_rows(buf, idx):
+        return jnp.take(buf, idx, axis=0)
+
+    return extract_all, extract_all_flow, gather_rows
+
+
+def extract_cube_set_resident(
+    cfg: PipelineConfig,
+    spec: DatasetSpec,
+    index: VideoIndex,
+    frames: np.ndarray,
+    boxes_list: List[np.ndarray],
+    flow_frames: Optional[np.ndarray] = None,
+    block_mode: Optional[int] = None,
+    chunk: int = 32,
+) -> CubeSet:
+    """Device-resident extraction for TRAINING: the serving-path design
+    (infer.py phase A) applied to the train split.
+
+    The chunked host path (extract_cube_set) round-trips every cube through
+    the host — upload frame chunks, download GB-scale cube chunks, and the
+    trainer re-uploads them. Over a tunneled accelerator that double
+    transfer dominated end-to-end training (measured 181 s for the 31k-cube
+    UCSDped2-scale split vs 0.35 s of actual device work). Here:
+
+      * the frame stack uploads ONCE (one bulk transfer),
+      * one executable extracts every padded (frame, box) cube into an HBM
+        buffer (+ flow magnitudes when flow is given),
+      * the motion filter / block routing run on host metadata only
+        (boxes + the small (N, K) magnitude array),
+      * one gather compacts the kept cubes — still in HBM.
+
+    Returns a CubeSet whose raw/flow are jax.Arrays; the trainer consumes
+    them with zero additional host<->device traffic (the reference's analog
+    hot loop: vad_datasets.py:70-93 + train.py:103-237).
+    """
+    fc = cfg.fore
+    mc = cfg.model
+    n = index.total_frames
+    block_mode = block_mode or fc.train_block_mode
+
+    peak = max(
+        (np.asarray(b).reshape(-1, 4).shape[0] for b in boxes_list), default=1
+    )
+    k_eff = min(fc.max_boxes_per_frame, max(-(-peak // 8) * 8, 8))
+    if peak > fc.max_boxes_per_frame:
+        raise ValueError(
+            f"a frame has {peak} boxes > max_boxes_per_frame="
+            f"{fc.max_boxes_per_frame}"
+        )
+    boxes_pad, valid = pad_boxes(boxes_list, k_eff)
+    windows = index.context_indices(mc.context_frame_num, mc.border_mode)
+    if windows.ndim == 1:
+        windows = windows[:, None]
+
+    n_pad = -(-n // chunk) * chunk
+    frame_pad = np.concatenate([np.arange(n), np.full(n_pad - n, n - 1)])
+    extract_all, extract_all_flow, gather_rows = _resident_extract_fns(
+        fc.patch_size
+    )
+
+    frames_dev = (
+        frames if isinstance(frames, jax.Array)
+        else jax.device_put(np.asarray(frames))
+    )
+    win_dev = jnp.asarray(windows[frame_pad]).reshape(n_pad // chunk, chunk, -1)
+    box_dev = jnp.asarray(boxes_pad[frame_pad]).reshape(
+        n_pad // chunk, chunk, k_eff, 4
+    )
+    cube_buf = extract_all(frames_dev, win_dev, box_dev)
+    cube_buf = cube_buf.reshape((n_pad * k_eff,) + cube_buf.shape[3:])
+
+    if flow_frames is not None:
+        of_windows = index.context_indices(mc.context_of_num, mc.border_mode)
+        if of_windows.ndim == 1:
+            of_windows = of_windows[:, None]
+        ow_dev = jnp.asarray(of_windows[frame_pad]).reshape(
+            n_pad // chunk, chunk, -1
+        )
+        flow_dev = (
+            flow_frames if isinstance(flow_frames, jax.Array)
+            else jax.device_put(np.asarray(flow_frames))
+        )
+        flow_buf, mag = extract_all_flow(flow_dev, ow_dev, box_dev)
+        flow_buf = flow_buf.reshape((n_pad * k_eff,) + flow_buf.shape[3:])
+        mag_host = np.asarray(mag).reshape(n_pad, k_eff)[:n]
+    else:
+        flow_buf = None
+        mag_host = np.full((n, k_eff), 10000.0)
+
+    # host: validity + motion filter + block routing on metadata only
+    h_step = spec.frame_h / fc.h_block
+    w_step = spec.frame_w / fc.w_block
+    scene_idx = (
+        index.scene_idx
+        if index.scene_idx is not None
+        else np.ones(n, dtype=np.int64)
+    )
+    flat_rows, frame_ids, box_rows, cell_rows, scene_rows = [], [], [], [], []
+    fid, bid = np.nonzero(valid)
+    for f, k in zip(fid, bid):
+        if mag_host[f, k] <= fc.motion_thr:
+            continue
+        b = boxes_pad[f, k]
+        for cell in calc_block_idx(
+            b[0], b[2], b[1], b[3], h_step, w_step, block_mode
+        ):
+            flat_rows.append(f * k_eff + k)
+            frame_ids.append(f)
+            box_rows.append(b)
+            cell_rows.append(cell)
+            scene_rows.append(scene_idx[f])
+
+    if not flat_rows:
+        p, t = fc.patch_size, mc.tot_raw_num
+        return CubeSet(
+            raw=np.zeros((0, p, p, t * 3), np.uint8),
+            flow=None if flow_frames is None else np.zeros(
+                (0, p, p, mc.tot_of_num * 2), np.float32
+            ),
+            frame_ids=np.zeros(0, np.int64),
+            boxes=np.zeros((0, 4), np.float32),
+            cells=np.zeros((0, 2), np.int64),
+            scenes=np.zeros(0, np.int64),
+        )
+    flat_idx = jnp.asarray(np.asarray(flat_rows, np.int32))
+    raw = gather_rows(cube_buf, flat_idx)  # stays in HBM
+    flow = gather_rows(flow_buf, flat_idx) if flow_buf is not None else None
+    return CubeSet(
+        raw=raw,
+        flow=flow,
+        frame_ids=np.array(frame_ids, np.int64),
+        boxes=np.stack(box_rows).astype(np.float32),
+        cells=np.array(cell_rows, np.int64),
+        scenes=np.array(scene_rows, np.int64),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training
 # ---------------------------------------------------------------------------
