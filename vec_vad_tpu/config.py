@@ -132,6 +132,11 @@ class CompletionConfig:
     learning_rate: float = 1e-3  # torch.optim.Adam default (train.py:290)
     adam_eps: float = 1e-7  # train.py:290
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # masked_bn: BatchNorm batch statistics ignore wrap-padded rows, exactly
+    # reproducing the reference's bare-partial-batch BN (train.py:383-402).
+    # False = stats include the wrap-padded duplicates (cheaper, tiny drift
+    # on the final batch of each epoch; quantified in tests/test_masked_bn.py)
+    masked_bn: bool = True
 
     # -- derived quantities (train.py:246-254) --
 
@@ -256,6 +261,7 @@ def load_ini_config(path: str) -> PipelineConfig:
             lambda_of=sc.getfloat("lambda_of", 1.0),
             w_raw=sc.getfloat("w_raw", 1.0),
             w_of=sc.getfloat("w_of", 1.0),
+            masked_bn=sc.getboolean("masked_bn", True),
         )
 
     def _flag(name: str, default: bool) -> bool:

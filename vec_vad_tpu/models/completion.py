@@ -104,8 +104,15 @@ class SelfCompletionNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, x_of: Optional[jnp.ndarray], train: bool
+        self,
+        x: jnp.ndarray,
+        x_of: Optional[jnp.ndarray],
+        train: bool,
+        batch_weight: Optional[jnp.ndarray] = None,
     ) -> CompletionOutput:
+        """batch_weight: optional (B,) 0/1 pad mask making BatchNorm batch
+        statistics ignore wrap-padded rows (reference partial-batch parity;
+        see models.layers.BatchNorm)."""
         ch = self.raw_channels
         positions = self.raw_positions
         erased = jnp.stack(
@@ -117,13 +124,13 @@ class SelfCompletionNet(nn.Module):
 
         ensemble = nn.vmap(
             UNet,
-            in_axes=(0, None),
+            in_axes=(0, None, None),
             out_axes=0,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
         )
         raw_out = ensemble(self.features_root, ch, name="raw_unets")(
-            erased, train
+            erased, train, batch_weight
         )
 
         of_out = of_tgt = None
@@ -140,13 +147,13 @@ class SelfCompletionNet(nn.Module):
                 flow_in = erased[jnp.array(pos_idx)]
                 flow_ens = nn.vmap(
                     UNet,
-                    in_axes=(0, None),
+                    in_axes=(0, None, None),
                     out_axes=0,
                     variable_axes={"params": 0, "batch_stats": 0},
                     split_rngs={"params": True},
                 )
                 of_out = flow_ens(self.features_root, och, name="of_unets")(
-                    flow_in, train
+                    flow_in, train, batch_weight
                 )
                 assert x_of is not None, "use_flow=True requires x_of"
                 of_tgt = jnp.stack(

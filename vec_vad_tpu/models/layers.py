@@ -99,13 +99,19 @@ class ConvTranspose2x(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d with torch-exact running-stat semantics."""
+    """BatchNorm2d with torch-exact running-stat semantics.
+
+    batch_weight (optional, (B,) 0/1): compute batch statistics over the
+    weighted rows only. The trainer wrap-pads partial batches to a fixed
+    shape (parallel/mesh.py); passing the pad mask here makes the batch
+    statistics equal torch's bare-partial-batch statistics exactly — the
+    reference trains its final batch unpadded (train.py:383-402)."""
 
     momentum: float = 0.1
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
+    def __call__(self, x, use_running_average: bool, batch_weight=None):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -119,14 +125,24 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            n = float(np.prod([x.shape[a] for a in reduce_axes]))
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
+            if batch_weight is None:
+                n = float(np.prod([x.shape[a] for a in reduce_axes]))
+                mean = jnp.mean(x, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
+                unbias = n / max(n - 1.0, 1.0)
+            else:
+                w = batch_weight.reshape(
+                    (x.shape[0],) + (1,) * (x.ndim - 1)
+                ).astype(x.dtype)
+                per_row = float(np.prod(x.shape[1:-1]))  # H*W
+                n = jnp.maximum(jnp.sum(batch_weight) * per_row, 1.0)
+                mean = jnp.sum(x * w, axis=reduce_axes) / n
+                var = jnp.sum(w * jnp.square(x - mean), axis=reduce_axes) / n
+                unbias = n / jnp.maximum(n - 1.0, 1.0)
             if not self.is_initializing():
                 m = self.momentum
-                unbiased = var * (n / max(n - 1.0, 1.0))
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                ra_var.value = (1 - m) * ra_var.value + m * (var * unbias)
         inv = jax.lax.rsqrt(var + self.epsilon)
         return (x - mean) * inv * scale + bias
 
@@ -137,12 +153,12 @@ class DoubleConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, batch_weight=None):
         x = Conv(self.features)(x)
-        x = BatchNorm()(x, use_running_average=not train)
+        x = BatchNorm()(x, not train, batch_weight)
         x = nn.relu(x)
         x = Conv(self.features)(x)
-        x = BatchNorm()(x, use_running_average=not train)
+        x = BatchNorm()(x, not train, batch_weight)
         x = nn.relu(x)
         return x
 
@@ -162,19 +178,20 @@ class UNet(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, batch_weight=None):
         f = self.features_root
-        x1 = DoubleConv(f)(x, train)
-        x2 = DoubleConv(2 * f)(max_pool_2x(x1), train)
-        x3 = DoubleConv(4 * f)(max_pool_2x(x2), train)
-        x4 = DoubleConv(8 * f)(max_pool_2x(x3), train)
+        w = batch_weight
+        x1 = DoubleConv(f)(x, train, w)
+        x2 = DoubleConv(2 * f)(max_pool_2x(x1), train, w)
+        x3 = DoubleConv(4 * f)(max_pool_2x(x2), train, w)
+        x4 = DoubleConv(8 * f)(max_pool_2x(x3), train, w)
 
         y = ConvTranspose2x(4 * f)(x4)
-        y = DoubleConv(4 * f)(jnp.concatenate([x3, y], axis=-1), train)
+        y = DoubleConv(4 * f)(jnp.concatenate([x3, y], axis=-1), train, w)
         y = ConvTranspose2x(2 * f)(y)
-        y = DoubleConv(2 * f)(jnp.concatenate([x2, y], axis=-1), train)
+        y = DoubleConv(2 * f)(jnp.concatenate([x2, y], axis=-1), train, w)
         y = ConvTranspose2x(f)(y)
-        y = DoubleConv(f)(jnp.concatenate([x1, y], axis=-1), train)
+        y = DoubleConv(f)(jnp.concatenate([x1, y], axis=-1), train, w)
 
         in_ch = y.shape[-1]
         kernel = self.param(

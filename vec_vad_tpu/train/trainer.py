@@ -85,9 +85,13 @@ def make_loss_fn(net: SelfCompletionNet, cfg: CompletionConfig):
     """Training loss closure shared by the single-block and grid trainers."""
 
     def loss_fn(params, batch_stats, x, x_of, w):
+        # masked_bn: the pad mask also drives BatchNorm statistics, so a
+        # wrap-padded final batch trains exactly like the reference's bare
+        # partial batch (train.py:383-402)
+        bw = w if cfg.masked_bn else None
         out, mutated = net.apply(
             {"params": params, "batch_stats": batch_stats},
-            x, x_of, True, mutable=["batch_stats"],
+            x, x_of, True, bw, mutable=["batch_stats"],
         )
         loss_raw = _masked_mean_sq(out.raw_out - out.raw_tgt, w)
         if cfg.use_flow and out.of_out is not None:
