@@ -136,8 +136,9 @@ class BatchNorm(nn.Module):
                 ).astype(x.dtype)
                 per_row = float(np.prod(x.shape[1:-1]))  # H*W
                 n = jnp.maximum(jnp.sum(batch_weight) * per_row, 1.0)
-                mean = jnp.sum(x * w, axis=reduce_axes) / n
-                var = jnp.sum(w * jnp.square(x - mean), axis=reduce_axes) / n
+                n_x = n.astype(x.dtype)  # keep stats in the compute dtype
+                mean = jnp.sum(x * w, axis=reduce_axes) / n_x
+                var = jnp.sum(w * jnp.square(x - mean), axis=reduce_axes) / n_x
                 unbias = n / jnp.maximum(n - 1.0, 1.0)
             if not self.is_initializing():
                 m = self.momentum

@@ -82,9 +82,19 @@ def _cube_scores(err: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_loss_fn(net: SelfCompletionNet, cfg: CompletionConfig):
-    """Training loss closure shared by the single-block and grid trainers."""
+    """Training loss closure shared by the single-block and grid trainers.
+
+    compute_dtype='bfloat16' runs the forward/backward in bf16 (params and
+    activations cast inside the loss, so the differentiated cast yields f32
+    gradients for the f32 master params); the loss/error reduction and the
+    Adam state stay f32. The reference trains pure f32 (train.py:383-402)."""
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, batch_stats, x, x_of, w):
+        if dt != jnp.float32:
+            params = jax.tree.map(lambda p: p.astype(dt), params)
+            x = x.astype(dt)
+            x_of = x_of.astype(dt) if x_of is not None else None
         # masked_bn: the pad mask also drives BatchNorm statistics, so a
         # wrap-padded final batch trains exactly like the reference's bare
         # partial batch (train.py:383-402)
@@ -93,9 +103,11 @@ def make_loss_fn(net: SelfCompletionNet, cfg: CompletionConfig):
             {"params": params, "batch_stats": batch_stats},
             x, x_of, True, bw, mutable=["batch_stats"],
         )
-        loss_raw = _masked_mean_sq(out.raw_out - out.raw_tgt, w)
+        err_raw = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+        loss_raw = _masked_mean_sq(err_raw, w)
         if cfg.use_flow and out.of_out is not None:
-            loss_of = _masked_mean_sq(out.of_out - out.of_tgt, w)
+            err_of = (out.of_out - out.of_tgt).astype(jnp.float32)
+            loss_of = _masked_mean_sq(err_of, w)
             loss = cfg.lambda_raw * loss_raw + cfg.lambda_of * loss_of
         else:
             loss_of = jnp.zeros(())
