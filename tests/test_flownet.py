@@ -78,6 +78,49 @@ def test_correlation_vs_oracle(rng):
     np.testing.assert_allclose(pal, got, atol=1e-6)
 
 
+def test_correlation_backward_variants(rng):
+    """Analytic jnp backward and the Pallas backward kernels both equal
+    autodiff of the reference formulation (the CUDA backward kernels'
+    contract, correlation_cuda_kernel.cu:108-290)."""
+    from vec_vad_tpu.models.flownet.ops import (
+        correlation,
+        correlation_bwd_pallas,
+        correlation_bwd_ref,
+    )
+
+    a = rng.normal(size=(2, 8, 10, 4)).astype(np.float32)
+    b = rng.normal(size=(2, 8, 10, 4)).astype(np.float32)
+    md, st = 4, 2
+    n = 2 * md // st + 1
+    g = rng.normal(size=(2, 8, 10, n * n)).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda x, y: correlation_ref(x, y, md, st), a, b)
+    want_a, want_b = (np.asarray(v) for v in vjp(jnp.asarray(g)))
+
+    got_a, got_b = correlation_bwd_ref(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(g), md, st
+    )
+    np.testing.assert_allclose(np.asarray(got_a), want_a, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_b), want_b, atol=1e-5)
+
+    pal_a, pal_b = correlation_bwd_pallas(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(g), md, st,
+        tile_h=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(pal_a), want_a, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal_b), want_b, atol=1e-5)
+
+    # the custom_vjp op end-to-end, Pallas fwd+bwd (interpret)
+    def loss(x, y):
+        return jnp.sum(
+            correlation(x, y, md, st, True, True) * jnp.asarray(g)
+        )
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(ga), want_a, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), want_b, atol=1e-5)
+
+
 def test_warp_matches_cuda_semantics(rng):
     img = rng.normal(size=(1, 6, 7, 3)).astype(np.float32)
     flow = rng.normal(scale=2.5, size=(1, 6, 7, 2)).astype(np.float32)

@@ -1,0 +1,167 @@
+"""Flow fine-tuning harness: epoch/validation driver with resume and
+best-checkpoint tracking.
+
+Capability parity with the reference's flownet2-pytorch trainer
+(FlowNet2_src/main.py): the epoch loop with per-epoch validation
+(main.py:592-634), best-EPE tracking and checkpoint + model_best saving
+(main.py:629-644), `--resume` restoring weights, optimizer state, epoch
+counter, and best error (main.py:341-350), and the iteration-based LR
+decay schedule (main.py:47-51, tools.update_hyperparameter_schedule).
+
+TPU-native differences: the train step is the compiled sharded
+FlowTrainer step (optimizer state lives in the jitted scan, not a torch
+object), checkpoints serialize the whole FlowTrainState pytree
+(flax.serialization msgpack — weights AND Adam moments, so a resumed run
+continues the exact trajectory), and validation is a jitted loss/EPE pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from vec_vad_tpu.flow.losses import multiscale_loss
+from vec_vad_tpu.flow.trainer import FlowTrainer, FlowTrainState
+
+
+@dataclass
+class FitResult:
+    state: FlowTrainState
+    best_epe: float
+    history: List[Dict] = field(default_factory=list)
+
+
+class FlowHarness:
+    """Epoch loop + validation + resumable checkpoints around FlowTrainer."""
+
+    CKPT = "checkpoint.msgpack"
+    BEST = "model_best.msgpack"
+    META = "meta.json"
+
+    def __init__(
+        self,
+        trainer: FlowTrainer,
+        workdir: str,
+        norm: str = "L1",
+    ):
+        self.trainer = trainer
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        net = trainer.net
+
+        def eval_step(params, pairs, target):
+            pyramid = net.apply({"params": params}, pairs, True)
+            return multiscale_loss(pyramid, target, norm=norm)
+
+        self._eval_step = jax.jit(eval_step)
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save_checkpoint(
+        self, state: FlowTrainState, epoch: int, best_epe: float,
+        is_best: bool,
+    ) -> None:
+        """checkpoint.msgpack + meta.json each epoch; model_best on
+        improvement (tools.save_checkpoint semantics, main.py:636-644)."""
+        blob = serialization.to_bytes(jax.device_get(state))
+        path = os.path.join(self.workdir, self.CKPT)
+        with open(path, "wb") as f:
+            f.write(blob)
+        with open(os.path.join(self.workdir, self.META), "w") as f:
+            json.dump({"epoch": epoch, "best_epe": float(best_epe)}, f)
+        if is_best:
+            with open(os.path.join(self.workdir, self.BEST), "wb") as f:
+                f.write(blob)
+
+    def load_checkpoint(
+        self, template: FlowTrainState, best: bool = False
+    ) -> Optional[tuple]:
+        """(state, epoch, best_epe) or None if no checkpoint exists."""
+        path = os.path.join(self.workdir, self.BEST if best else self.CKPT)
+        meta_path = os.path.join(self.workdir, self.META)
+        if not (os.path.exists(path) and os.path.exists(meta_path)):
+            return None
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return state, int(meta["epoch"]), float(meta["best_epe"])
+
+    # -- validation ---------------------------------------------------------
+
+    def validate(self, state, dataset, batch_size: int) -> float:
+        """Weighted multi-scale EPE over the validation set
+        (main.py:394-516 is_validate branch)."""
+        tot, n = 0.0, 0
+        for pairs, target in dataset.batches(batch_size, shuffle=False):
+            _, epe_v = self._eval_step(
+                state.params, jnp.asarray(pairs), jnp.asarray(target)
+            )
+            b = pairs.shape[0]
+            tot += float(epe_v) * b
+            n += b
+        return tot / max(n, 1)
+
+    # -- the epoch loop -----------------------------------------------------
+
+    def fit(
+        self,
+        train_dataset,
+        val_dataset,
+        total_epochs: int,
+        batch_size: int,
+        example_pairs: Optional[np.ndarray] = None,
+        seed: int = 0,
+        resume: bool = True,
+        log: bool = False,
+    ) -> FitResult:
+        """Train to total_epochs, validating each epoch; transparently
+        resumes from <workdir>/checkpoint.msgpack when present."""
+        if example_pairs is None:
+            pairs0, _ = next(train_dataset.batches(batch_size, shuffle=False))
+            example_pairs = pairs0
+        state = self.trainer.init_state(example_pairs, seed=seed)
+        start_epoch, best_epe = 1, float("inf")
+        if resume:
+            loaded = self.load_checkpoint(state)
+            if loaded is not None:
+                state, last_epoch, best_epe = loaded
+                start_epoch = last_epoch + 1
+                if log:
+                    print(
+                        f"resumed epoch {last_epoch} (best EPE {best_epe:.4f})"
+                    )
+
+        history: List[Dict] = []
+        for epoch in range(start_epoch, total_epochs + 1):
+            losses = []
+            for pairs, target in train_dataset.batches(
+                batch_size, shuffle=True, seed=seed + epoch
+            ):
+                state, metrics = self.trainer.step(state, pairs, target)
+                losses.append(float(metrics["loss"]))
+            val_epe = self.validate(state, val_dataset, batch_size)
+            is_best = val_epe < best_epe
+            best_epe = min(best_epe, val_epe)
+            self.save_checkpoint(state, epoch, best_epe, is_best)
+            history.append(
+                {
+                    "epoch": epoch,
+                    "train_loss": float(np.mean(losses)) if losses else None,
+                    "val_epe": val_epe,
+                    "is_best": is_best,
+                }
+            )
+            if log:
+                print(
+                    f"epoch {epoch}: loss {history[-1]['train_loss']:.5f} "
+                    f"val EPE {val_epe:.5f}{' *' if is_best else ''}"
+                )
+        return FitResult(state=state, best_epe=best_epe, history=history)

@@ -37,9 +37,24 @@ class FlowTrainer:
         learning_rate: float = 1e-4,
         norm: str = "L1",
         mesh: Optional[Mesh] = None,
+        schedule_lr_frequency: int = 0,
+        schedule_lr_fraction: float = 10.0,
     ):
+        """schedule_lr_frequency/fraction: lr /= fraction every `frequency`
+        iterations (FlowNet2_src/main.py:47-51, the reference's
+        update_hyperparameter_schedule) — expressed as a pure step-count
+        schedule so the compiled train step needs no host-side mutation."""
         self.net = net
-        self.tx = optax.adam(learning_rate)
+        if schedule_lr_frequency:
+            def lr(count):
+                return learning_rate * jnp.power(
+                    1.0 / schedule_lr_fraction,
+                    jnp.floor(count / schedule_lr_frequency),
+                )
+
+            self.tx = optax.adam(lr)
+        else:
+            self.tx = optax.adam(learning_rate)
         self.mesh = mesh or get_mesh()
         multi = self.mesh.devices.size > 1
         rep = replicated_sharding(self.mesh) if multi else None

@@ -135,11 +135,161 @@ def correlation_pallas(
     )(a, b)
 
 
+def correlation_bwd_ref(a, b, g, max_disp: int = 20, stride: int = 2):
+    """Analytic cost-volume gradients, pure jnp (the CUDA backward kernels'
+    math, correlation_cuda_kernel.cu:108-290):
+
+      grad_a[y,x,c] = 1/C sum_d g[y,x,d]       * b[y+dy, x+dx, c]
+      grad_b[y,x,c] = 1/C sum_d g[y-dy,x-dx,d] * a[y-dy, x-dx, c]
+
+    One displacement sweep each — no forward recompute (jax.vjp of the
+    forward would redo all 441 products just to discard the primal)."""
+    B, H, W, C = a.shape
+    p = max_disp
+    bp = jnp.pad(b, ((0, 0), (p, p), (p, p), (0, 0)))
+    grad_a = jnp.zeros_like(a)
+    grad_b = jnp.zeros_like(b)
+    n_disp = 2 * max_disp // stride + 1
+    for dyi in range(n_disp):
+        dy = -max_disp + dyi * stride
+        for dxi in range(n_disp):
+            dx = -max_disp + dxi * stride
+            d = dyi * n_disp + dxi
+            shifted_b = jax.lax.dynamic_slice(
+                bp, (0, p + dy, p + dx, 0), (B, H, W, C)
+            )
+            gd = g[..., d : d + 1]
+            grad_a = grad_a + gd * shifted_b
+            # scatter g_d * a to (y+dy, x+dx): pad then place at offset
+            h = jnp.pad(gd * a, ((0, 0), (p, p), (p, p), (0, 0)))
+            grad_b = grad_b + jax.lax.dynamic_slice(
+                h, (0, p - dy, p - dx, 0), (B, H, W, C)
+            )
+    return grad_a / C, grad_b / C
+
+
+def _corr_bwd_kernel(g_ref, oth_ref, out_ref, *, max_disp, stride, tile_h,
+                     wrt_b):
+    """Pallas backward body: one (batch, row-tile, dy-row) program
+    accumulating one displacement ROW's contribution into the output tile.
+
+    The dy axis lives in the GRID (innermost, sequential) so the per-program
+    graph stays small — the fully-unrolled 441-term version crashed the
+    hardware compiler. The cotangent arrives pre-transposed to
+    (B, D, H, W): its displacement index is then a STATIC block/sublane
+    index (dynamic lane indexing is a Mosaic no-go).
+
+    wrt_b=False: g_ref (1, n_disp, TH, W) this tile's cotangents for this
+    dy row; oth_ref full b; out += sum_dx g_dx * shift_{+(dy,dx)}(b).
+    wrt_b=True: g_ref (1, n_disp, H, W) full-height cotangents for this dy
+    row; oth_ref full a; out += sum_dx shift at (y,x)-(dy,dx) of g_dx * a.
+    """
+    import jax.experimental.pallas as pl
+
+    th = tile_h
+    _, H, W, C = oth_ref.shape
+    ty = pl.program_id(1)
+    dyi = pl.program_id(2)
+    n_disp = 2 * max_disp // stride + 1
+    dy = -max_disp + dyi * stride  # traced; row gathers handle it below
+
+    @pl.when(dyi == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((th, W, C), jnp.float32)
+
+    sgn = -1 if wrt_b else 1
+    rows_oth, rows_g = [], []
+    for r in range(th):
+        idx = ty * th + sgn * dy + r
+        inb = jnp.logical_and(idx >= 0, idx < H)
+        safe = jnp.clip(idx, 0, H - 1)
+        row = oth_ref[0, safe]  # (W, C)
+        rows_oth.append(jnp.where(inb, row, 0.0))
+        if wrt_b:
+            grow = g_ref[0, :, safe]  # (n_disp, W)
+            rows_g.append(jnp.where(inb, grow, 0.0))
+    oth_rows = jnp.stack(rows_oth, axis=0)  # (TH, W, C)
+    op = jnp.pad(oth_rows, ((0, 0), (max_disp, max_disp), (0, 0)))
+    if wrt_b:
+        g_rows = jnp.stack(rows_g, axis=1)  # (n_disp, TH, W)
+        gp = jnp.pad(g_rows, ((0, 0), (0, 0), (max_disp, max_disp)))
+
+    acc = jnp.zeros((th, W, C), jnp.float32)
+    for dxi in range(n_disp):
+        dx = -max_disp + dxi * stride
+        if wrt_b:
+            # rows already gathered at y-dy; shift x by -dx for BOTH factors
+            sh_o = op[:, max_disp - dx : max_disp - dx + W, :]
+            sh_g = gp[dxi, :, max_disp - dx : max_disp - dx + W]
+            acc = acc + sh_g[..., None] * sh_o
+        else:
+            sh_o = op[:, max_disp + dx : max_disp + dx + W, :]
+            acc = acc + g_ref[0, dxi][..., None] * sh_o
+    out_ref[0] += acc / C
+
+
+def correlation_bwd_pallas(
+    a, b, g, max_disp: int = 20, stride: int = 2, tile_h: int = 8,
+    interpret: bool = False,
+):
+    """Pallas backward: (grad_a, grad_b) with feature maps VMEM-resident per
+    row tile — the TPU analog of the two CUDA backward kernels
+    (correlation_cuda_kernel.cu:108-290)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = a.shape
+    n_disp = 2 * max_disp // stride + 1
+    grid = (B, pl.cdiv(H, tile_h), n_disp)
+    # (B, H, W, D) -> (B, D, H, W): displacement becomes a block/sublane
+    # axis the kernel can index statically
+    g_t = jnp.transpose(g, (0, 3, 1, 2))
+
+    def call(kernel, g_spec):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                g_spec,
+                pl.BlockSpec(
+                    (1, H, W, C), lambda bi, ti, dyi: (bi, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, W, C), lambda bi, ti, dyi: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+            interpret=interpret,
+        )
+
+    g_tile = pl.BlockSpec(
+        (1, n_disp, tile_h, W), lambda bi, ti, dyi: (bi, dyi, ti, 0),
+        memory_space=pltpu.VMEM,
+    )
+    g_full = pl.BlockSpec(
+        (1, n_disp, H, W), lambda bi, ti, dyi: (bi, dyi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    k_a = functools.partial(
+        _corr_bwd_kernel, max_disp=max_disp, stride=stride, tile_h=tile_h,
+        wrt_b=False,
+    )
+    k_b = functools.partial(
+        _corr_bwd_kernel, max_disp=max_disp, stride=stride, tile_h=tile_h,
+        wrt_b=True,
+    )
+    grad_a = call(k_a, g_tile)(g_t, b)
+    grad_b = call(k_b, g_full)(g_t, a)
+    return grad_a, grad_b
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def correlation(a, b, max_disp=20, stride=2, use_pallas=False, interpret=False):
-    """Differentiable cost volume: Pallas forward (optional) with the
-    jnp formulation's autodiff as the VJP — the hand-written CUDA backward
-    kernels' equivalent (correlation_cuda_kernel.cu:108-290)."""
+    """Differentiable cost volume: Pallas forward (optional) with matching
+    Pallas or analytic-jnp backward — the hand-written CUDA kernels'
+    equivalent (correlation_cuda_kernel.cu:34-290)."""
     if use_pallas:
         return correlation_pallas(a, b, max_disp, stride, interpret=interpret)
     return correlation_ref(a, b, max_disp, stride)
@@ -151,8 +301,11 @@ def _correlation_fwd(a, b, max_disp, stride, use_pallas, interpret):
 
 def _correlation_bwd(max_disp, stride, use_pallas, interpret, res, g):
     a, b = res
-    _, vjp = jax.vjp(lambda x, y: correlation_ref(x, y, max_disp, stride), a, b)
-    return vjp(g)
+    if use_pallas:
+        return correlation_bwd_pallas(
+            a, b, g, max_disp, stride, interpret=interpret
+        )
+    return correlation_bwd_ref(a, b, g, max_disp, stride)
 
 
 correlation.defvjp(_correlation_fwd, _correlation_bwd)
