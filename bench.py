@@ -24,6 +24,42 @@ import time
 import numpy as np
 
 
+def pallas_correlation_check() -> dict:
+    """Run the Pallas correlation forward+backward ON HARDWARE and verify
+    against the jnp formulation — pins 'works on the real chip' as a
+    driver-recorded artifact rather than a docstring claim."""
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.models.flownet.ops import correlation
+
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(1, 24, 64, 64)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 24, 64, 64)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(1, 24, 64, 441)).astype(np.float32))
+
+    def loss(x, y, pal):
+        return jnp.sum(correlation(x, y, 20, 2, pal, False) * g)
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)
+    try:
+        ga_p, gb_p = f(a, b, True)
+        np.asarray(ga_p)  # force compile+run before timing
+        ga_r, gb_r = f(a, b, False)
+        ok = bool(
+            np.allclose(np.asarray(ga_p), np.asarray(ga_r), atol=1e-4)
+            and np.allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-4)
+        )
+        t0 = time.perf_counter()
+        ga_p, gb_p = f(a, b, True)
+        np.asarray(ga_p), np.asarray(gb_p)
+        ms = (time.perf_counter() - t0) * 1000.0
+        return {"pallas_correlation_ok": ok,
+                "pallas_correlation_ms": round(ms, 1)}
+    except Exception:
+        return {"pallas_correlation_ok": False, "pallas_correlation_ms": -1.0}
+
+
 def main() -> None:
     import jax
 
@@ -90,16 +126,14 @@ def main() -> None:
     assert scores.shape == (n,) and np.isfinite(scores[valid.any(1)]).all()
 
     fps = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": "ucsdped2_test_inference_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 25.0, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "ucsdped2_test_inference_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 25.0, 2),
+    }
+    record.update(pallas_correlation_check())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
