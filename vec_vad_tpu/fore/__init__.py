@@ -7,3 +7,8 @@ from vec_vad_tpu.fore.detector import (  # noqa: F401
     filter_detections,
     compute_foreground_bboxes,
 )
+from vec_vad_tpu.fore.cascade_detector import (  # noqa: F401
+    CascadeDetector,
+    CascadeFPNNet,
+    train_cascade_detector,
+)
