@@ -44,6 +44,59 @@ w_of = 1
 """
 
 
+def test_multi_scene_evaluation(tmp_path):
+    """Reference test.py:371-386: a multi-scene partition is evaluated
+    per scene (one ROC/PR .npz per scene) and the headline AUROC is the
+    unweighted mean over scenes."""
+    from vec_vad_tpu.eval.metrics import evaluate_scores
+    from vec_vad_tpu.runner import evaluate_frame_scores
+
+    cfg_path = os.path.join(str(tmp_path), "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    cfg = load_ini_config(cfg_path)
+
+    rng = np.random.default_rng(7)
+    n = 120
+    scene_idx = np.repeat([1, 2, 3], n // 3)
+    labels = rng.integers(0, 2, n).astype(bool)
+    # make scene AUROCs differ: scene 1 informative, others noisy
+    scores = rng.normal(size=n)
+    scores[: n // 3] += 3.0 * labels[: n // 3]
+
+    results_dir = os.path.join(str(tmp_path), "results")
+    os.makedirs(results_dir, exist_ok=True)
+    out = evaluate_frame_scores(cfg, results_dir, scores, labels, scene_idx)
+
+    per_scene = [
+        evaluate_scores(
+            scores[scene_idx == si], labels[scene_idx == si]
+        ).roc_auc
+        for si in (1, 2, 3)
+    ]
+    assert out["auroc"] == pytest.approx(float(np.mean(per_scene)))
+    assert set(out["auroc_per_scene"]) == {1, 2, 3}
+    for si, ref in zip((1, 2, 3), per_scene):
+        assert out["auroc_per_scene"][si] == pytest.approx(ref)
+        assert os.path.exists(
+            os.path.join(
+                results_dir,
+                f"raw2flow_obj_det_with_motion_SelfComplete_"
+                f"frame_results_scene_{si}.npz",
+            )
+        )
+
+    # all-ones partition (every reference dataset incl. ShanghaiTech,
+    # vad_datasets.py:690-691) degenerates to the single-artifact path
+    out1 = evaluate_frame_scores(
+        cfg, results_dir, scores, labels, np.ones(n, np.int64)
+    )
+    assert out1["auroc"] == pytest.approx(
+        evaluate_scores(scores, labels).roc_auc
+    )
+    assert "auroc_per_scene" not in out1
+
+
 def test_runner_end_to_end(tmp_path):
     base = str(tmp_path)
     make_synthetic_dataset(

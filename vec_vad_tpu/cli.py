@@ -41,7 +41,8 @@ def cmd_train(args) -> int:
 
     cfg = _load_cfg(args)
     model, path = run_train(
-        cfg, args.base, seed=args.seed, log_every=args.log_every
+        cfg, args.base, seed=args.seed, log_every=args.log_every,
+        resident=args.resident,
     )
     print(f"trained {len(model.blocks)} block model(s) -> {path}")
     return 0
@@ -55,7 +56,12 @@ def cmd_test(args) -> int:
         cfg, args.base, save_masks=args.save_masks,
         per_video_norm=args.per_video_norm,
     )
-    print(f"frame-level AUROC: {res['auroc']:.4f}")
+    if "auroc_per_scene" in res:
+        for si, auc in sorted(res["auroc_per_scene"].items()):
+            print(f"scene {si} frame-level AUROC: {auc:.4f}")
+        print(f"average frame-level AUROC: {res['auroc']:.4f}")
+    else:
+        print(f"frame-level AUROC: {res['auroc']:.4f}")
     print(f"curves -> {res['results_path']}")
     return 0
 
@@ -120,6 +126,11 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=5)
+    p.add_argument(
+        "--resident", action="store_true",
+        help="device-resident extraction (cubes never leave HBM; "
+        "skips the on-disk cube cache)",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="score the test split + AUROC")

@@ -151,11 +151,30 @@ def _extract_cached(
 
 
 def run_train(
-    cfg: PipelineConfig, base: str, seed: int = 0, log_every: int = 0
+    cfg: PipelineConfig,
+    base: str,
+    seed: int = 0,
+    log_every: int = 0,
+    resident: bool = False,
 ) -> Tuple[VadModel, str]:
-    """Full training pipeline; returns the model and its artifact path."""
+    """Full training pipeline; returns the model and its artifact path.
+
+    resident=True extracts cubes device-resident (they never leave HBM on
+    the way to the trainer — see pipeline.extract_cube_set_resident) and
+    skips the on-disk cube cache; the fastest path on remote/tunneled
+    accelerators, at the cost of re-extracting on every run."""
     data = load_split(cfg, base, "train")
-    cubes = _extract_cached(cfg, base, "train", data, cfg.fore.train_block_mode)
+    if resident:
+        from vec_vad_tpu.pipeline import extract_cube_set_resident
+
+        cubes = extract_cube_set_resident(
+            cfg, cfg.dataset, data.index, data.frames, data.boxes,
+            flow_frames=data.flow, block_mode=cfg.fore.train_block_mode,
+        )
+    else:
+        cubes = _extract_cached(
+            cfg, base, "train", data, cfg.fore.train_block_mode
+        )
     trainer = make_trainer(cfg)
     model = train_model(cfg, cubes, trainer=trainer, seed=seed, log_every=log_every)
     out_dir = os.path.join(base, cfg.data_root_dir, cfg.modality)
@@ -211,17 +230,51 @@ def run_test(
 
     root = _dataset_root(cfg, base)
     labels = load_frame_labels(cfg.dataset_name, root, data.index)
-    results_path = os.path.join(
-        results_dir,
-        f"{cfg.modality}_{cfg.fore.extraction_mode}_{cfg.method}_frame_results.npz",
+    out = evaluate_frame_scores(
+        cfg, results_dir, frame_scores, labels, data.index.scene_idx
     )
+    out["frame_scores"] = frame_scores
+    out["labels"] = labels
+    return out
+
+
+def evaluate_frame_scores(
+    cfg: PipelineConfig,
+    results_dir: str,
+    frame_scores: np.ndarray,
+    labels: np.ndarray,
+    scene_idx: Optional[np.ndarray] = None,
+) -> dict:
+    """Frame-criterion evaluation with the reference's scene semantics
+    (test.py:370-399): single-scene datasets get one ROC/PR artifact;
+    a multi-scene partition gets one artifact per scene plus the
+    unweighted mean AUROC over scenes as the headline number.
+
+    With the reference's own datasets scene_idx is all-ones — even
+    ShanghaiTech, whose per-scene branch therefore degenerates to one
+    group (vad_datasets.py:690-691) — so this branch fires only for
+    indexes carrying a real per-scene partition.
+    """
+    stem = f"{cfg.modality}_{cfg.fore.extraction_mode}_{cfg.method}_frame_results"
+    scene_ids = (
+        sorted(set(int(s) for s in scene_idx)) if scene_idx is not None else [1]
+    )
+    if len(scene_ids) > 1:
+        per_scene = {}
+        for si in scene_ids:
+            mask = scene_idx == si
+            path_si = os.path.join(results_dir, f"{stem}_scene_{si}.npz")
+            per_scene[si] = save_roc_pr_curve_data(
+                frame_scores[mask], labels[mask], path_si
+            )
+        return {
+            "auroc": float(np.mean(list(per_scene.values()))),
+            "auroc_per_scene": per_scene,
+            "results_path": results_dir,
+        }
+    results_path = os.path.join(results_dir, f"{stem}.npz")
     auroc = save_roc_pr_curve_data(frame_scores, labels, results_path)
-    return {
-        "auroc": auroc,
-        "frame_scores": frame_scores,
-        "labels": labels,
-        "results_path": results_path,
-    }
+    return {"auroc": auroc, "results_path": results_path}
 
 
 def run_calc_flow(
