@@ -1,0 +1,146 @@
+"""Online serving (serve.StreamingScorer) must reproduce the offline
+resident path's frame scores exactly: the reference recipe is causal
+(border_mode='predict', train.py:116-121), so streaming one frame at a
+time through a device ring buffer is score-equivalent to scoring the
+materialized split."""
+
+import numpy as np
+import pytest
+
+from vec_vad_tpu.config import (
+    CompletionConfig,
+    DatasetSpec,
+    ForegroundConfig,
+    PipelineConfig,
+)
+from vec_vad_tpu.data.synthetic import make_synthetic_dataset
+from vec_vad_tpu.data.video_index import VideoIndex
+from vec_vad_tpu.infer import infer_frame_scores_resident
+from vec_vad_tpu.ops.stc import pad_boxes
+from vec_vad_tpu.pipeline import extract_cube_set, make_trainer, train_model
+from vec_vad_tpu.serve import StreamingScorer
+
+SPEC = DatasetSpec(
+    name="s", frame_h=48, frame_w=64, file_ext=".tif", scene_num=1,
+    ap_score_thr=0.5, ap_min_area=16.0, cover_thr=0.6,
+    mt_area_thr=16.0, mt_binary_thr=18.0, mt_extend=2, mt_gauss_mask_size=3,
+)
+
+
+def _pseudo_flow(frames: np.ndarray) -> np.ndarray:
+    d = np.diff(
+        frames.astype(np.float32).mean(-1), axis=0, append=frames[-1:].mean(-1)
+    )
+    return np.stack([d, -d], axis=-1) / 25.0
+
+
+def _train_tiny(use_flow: bool, seed: int):
+    ds = make_synthetic_dataset(
+        frames_per_video=14, n_train_videos=1, n_test_videos=2,
+        frame_h=48, frame_w=64, seed=seed,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=8),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=use_flow
+        ),
+    )
+    tr_idx = VideoIndex(["v"], ds.train_video_lengths)
+    tr_flow = _pseudo_flow(ds.train_frames) if use_flow else None
+    cubes = extract_cube_set(
+        cfg, SPEC, tr_idx, ds.train_frames, ds.train_boxes, flow_frames=tr_flow
+    )
+    model = train_model(cfg, cubes, trainer=make_trainer(cfg))
+    return ds, cfg, model
+
+
+def _offline_scores(ds, cfg, model, te_idx, te_flow=None):
+    blk = model.blocks[(0, 0, 0)]
+    boxes_pad, valid = pad_boxes(ds.test_boxes, cfg.fore.max_boxes_per_frame)
+    windows = te_idx.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+    mu_r, sd_r = blk.raw_stats
+    if blk.of_stats is not None:
+        mu_o, sd_o = blk.of_stats
+    else:
+        mu_o, sd_o = 0.0, 1.0
+    kwargs = {}
+    if te_flow is not None:
+        ow = te_idx.context_indices(
+            cfg.model.context_of_num, cfg.model.border_mode
+        )
+        kwargs = dict(flow=te_flow, of_windows=ow if ow.ndim > 1 else ow[:, None])
+    return infer_frame_scores_resident(
+        cfg,
+        {"params": blk.params, "batch_stats": blk.batch_stats},
+        (mu_r, sd_r, mu_o, sd_o),
+        ds.test_frames,
+        windows,
+        boxes_pad,
+        valid,
+        chunk=8,
+        cube_batch=16,
+        **kwargs,
+    )
+
+
+def _stream_scores(ds, cfg, model, te_idx, te_flow=None):
+    scorer = StreamingScorer.from_model(model)
+    out = []
+    i = 0
+    for ln in te_idx.video_lengths:
+        scorer.start_video()
+        for _ in range(int(ln)):
+            flow = te_flow[i] if te_flow is not None else None
+            out.append(scorer.push(ds.test_frames[i], ds.test_boxes[i], flow=flow))
+            i += 1
+    return np.asarray(out, np.float32)
+
+
+def test_streaming_matches_offline_raw():
+    ds, cfg, model = _train_tiny(use_flow=False, seed=12)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    offline = _offline_scores(ds, cfg, model, te_idx)
+    streamed = _stream_scores(ds, cfg, model, te_idx)
+    np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_matches_offline_flow():
+    ds, cfg, model = _train_tiny(use_flow=True, seed=13)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    te_flow = _pseudo_flow(ds.test_frames)
+    offline = _offline_scores(ds, cfg, model, te_idx, te_flow)
+    streamed = _stream_scores(ds, cfg, model, te_idx, te_flow)
+    np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_edge_cases():
+    ds, cfg, model = _train_tiny(use_flow=False, seed=14)
+    scorer = StreamingScorer.from_model(model)
+    scorer.start_video()
+    # frame with no boxes -> -big_number (test.py:350-357: untouched mask)
+    s = scorer.push(ds.test_frames[0], np.zeros((0, 4), np.float32))
+    assert s == -scorer.big_number
+    # degenerate boxes only -> -big_number
+    s = scorer.push(
+        ds.test_frames[1], np.array([[5.0, 5.0, 5.0, 9.0]], np.float32)
+    )
+    assert s == -scorer.big_number
+    # too many boxes -> error
+    with pytest.raises(ValueError):
+        scorer.push(ds.test_frames[2], np.zeros((9, 4), np.float32))
+    # non-causal border mode refused
+    import dataclasses
+
+    cfg_bad = cfg.replace(
+        model=dataclasses.replace(cfg.model, border_mode="elastic")
+    )
+    blk = model.blocks[(0, 0, 0)]
+    with pytest.raises(ValueError):
+        StreamingScorer(
+            cfg_bad,
+            {"params": blk.params, "batch_stats": blk.batch_stats},
+            (0.0, 1.0, 0.0, 1.0),
+        )

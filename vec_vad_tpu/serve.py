@@ -1,0 +1,251 @@
+"""Online (streaming) anomaly scoring for production serving.
+
+The reference is strictly offline: test.py scores a fully materialized
+split from disk artifacts. But its scoring recipe is *causal* — the
+foreground/completion context windows use border_mode='predict'
+(train.py:116-121), i.e. every frame is completed from itself plus the
+`context_frame_num` frames BEFORE it (vad_datasets.py:287-293). That makes
+true online serving possible with zero algorithmic change: a camera feed
+can be scored frame-by-frame with exactly the scores the offline pipeline
+would produce.
+
+`StreamingScorer` is that serving path, designed TPU-first:
+
+  * all state lives in HBM: a ring buffer of the last `tot_raw_num` frames
+    (+ a flow ring when the flow stream is enabled), the model weights, and
+    the training-score statistics;
+  * ONE device call per frame: a single donated-buffer jitted step that
+    writes the incoming frame into the ring, gathers the context window,
+    extracts every padded bbox cube (crop+resize as MXU interpolation
+    matmuls), runs the completion ensemble, and returns z-normalized fused
+    per-box scores (+ motion magnitudes). Buffer donation makes the ring
+    update in-place — no per-frame reallocation;
+  * static shapes throughout: boxes are padded to a fixed K, the window
+    layout is precomputed host-side as ring slots, so the step compiles
+    once and replays for every frame of every video.
+
+Scores match `infer_frame_scores_resident` exactly (tests/test_serve.py):
+same uint8 cube quantization, same ensemble forward, same z-norm/fusion,
+same motion + degenerate-box filters, same -big_number for empty frames
+(test.py:296-357 semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vec_vad_tpu.config import PipelineConfig
+from vec_vad_tpu.models.completion import SelfCompletionNet, make_completion_net
+from vec_vad_tpu.ops.stc import cube_to_input, extract_stc, flow_magnitude
+from vec_vad_tpu.score.scoring import BIG_NUMBER, degenerate_boxes
+
+
+def _predict_window(pos: int, ctx: int) -> np.ndarray:
+    """The 'predict' border-mode context window for frame `pos` of a video,
+    in within-video coordinates: [start]*pad + [start..pos]
+    (vad_datasets.py:287-293; matches data.video_index.context_indices)."""
+    T = ctx + 1
+    start = max(pos - ctx, 0)
+    pad = T - (pos - start + 1)
+    t = np.arange(T, dtype=np.int64)
+    return start + np.maximum(t - pad, 0)
+
+
+class StreamingScorer:
+    """Per-frame online scorer over a device-resident frame ring.
+
+    Usage:
+        scorer = StreamingScorer.from_model(model)          # or __init__
+        scorer.start_video()
+        for frame, boxes, flow in camera_feed:
+            score = scorer.push(frame, boxes, flow=flow)    # one device call
+
+    `push` returns the frame-level anomaly score: the max over the frame's
+    valid, non-degenerate (and motion-passing, when flow is streamed) box
+    scores, or -big_number for a frame with no scoring boxes
+    (test.py:350-357 frame-max semantics).
+
+    Only border_mode='predict' (the reference's default) is causal;
+    'elastic'/'hard' windows reference future frames and cannot stream.
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        variables,
+        stats: Tuple[float, float, float, float],
+        net: Optional[SelfCompletionNet] = None,
+        max_boxes: Optional[int] = None,
+        compute_dtype=jnp.float32,
+        big_number: float = BIG_NUMBER,
+    ):
+        mc = cfg.model
+        if mc.border_mode != "predict":
+            raise ValueError(
+                "online serving requires the causal 'predict' border mode; "
+                f"got {mc.border_mode!r}"
+            )
+        self.cfg = cfg
+        self.net = net or make_completion_net(mc)
+        self.variables = variables
+        self.big_number = float(big_number)
+        self.K = int(max_boxes or cfg.fore.max_boxes_per_frame)
+        self.P = int(cfg.fore.patch_size)
+        self.R = int(mc.tot_raw_num)
+        self.R_of = int(mc.tot_of_num)
+        self.ctx = int(mc.context_frame_num)
+        self.ctx_of = int(mc.context_of_num)
+        self.use_flow = bool(mc.use_flow)
+        self._stats = tuple(jnp.asarray(s, jnp.float32) for s in stats)
+        self._compute_dtype = compute_dtype
+
+        # rings allocate lazily on the first push (frame geometry comes
+        # from the stream, not the config's dataset table)
+        self._ring = None
+        self._flow_ring = None
+        self._n_pushed = 0  # global frames pushed (ring write counter)
+        self._v0 = 0  # value of _n_pushed when the current video started
+        self._step = self._build_step()
+
+    # -- constructors ---------------------------------------------------
+
+    @classmethod
+    def from_model(cls, model, key=(0, 0, 0), **kw) -> "StreamingScorer":
+        """Serve one trained block of a VadModel (single-block grids: the
+        flagship configs are 1x1 blocks, config.cfg h_block=w_block=1)."""
+        blk = model.blocks[key]
+        mu_r, sd_r = blk.raw_stats
+        of = blk.of_stats
+        mu_o, sd_o = of if of is not None else (0.0, 1.0)
+        return cls(
+            model.cfg,
+            {"params": blk.params, "batch_stats": blk.batch_stats},
+            (mu_r, sd_r, mu_o, sd_o),
+            **kw,
+        )
+
+    # -- the jitted per-frame step --------------------------------------
+
+    def _build_step(self):
+        net, P, K = self.net, self.P, self.K
+        use_flow = self.use_flow
+        w_raw, w_of = self.cfg.model.w_raw, self.cfg.model.w_of
+        cdt = self._compute_dtype
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(ring, flow_ring, frame, flow_map, slot, of_slot, win, owin,
+                 boxes, variables, stats):
+            ring = jax.lax.dynamic_update_slice(
+                ring, frame[None], (slot, 0, 0, 0)
+            )
+            wd = jnp.take(ring, win, axis=0)
+            cubes = extract_stc(wd, boxes, P, quantize=True)
+            # uint8 round-trip: bit-identical to the offline HBM cube buffer
+            x = cube_to_input(cubes, scale=False).astype(jnp.uint8)
+            x = x.astype(cdt) / 255.0
+
+            if use_flow:
+                flow_ring = jax.lax.dynamic_update_slice(
+                    flow_ring, flow_map[None], (of_slot, 0, 0, 0)
+                )
+                owd = jnp.take(flow_ring, owin, axis=0)
+                fcubes = extract_stc(owd, boxes, P, quantize=False)
+                mag = flow_magnitude(fcubes)
+                x_of = cube_to_input(fcubes, scale=False).astype(cdt)
+            else:
+                mag = jnp.full((K,), jnp.inf, jnp.float32)
+                x_of = jnp.zeros(
+                    (K, P, P, net.tot_of_num * net.of_channels), cdt
+                )
+
+            vc = jax.tree.map(lambda p: p.astype(cdt), variables)
+            out = net.apply(vc, x, x_of, False)
+            mu_r, sd_r, mu_o, sd_o = stats
+            err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+            sc = jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))
+            score = w_raw * (sc - mu_r) / sd_r
+            if use_flow and out.of_out is not None:
+                oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
+                osc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
+                score = score + w_of * (osc - mu_o) / sd_o
+            return ring, flow_ring, score, mag
+
+        return step
+
+    # -- streaming API --------------------------------------------------
+
+    def start_video(self) -> None:
+        """Mark a video boundary: context windows never cross it
+        (context_range never spans videos, vad_datasets.py:277-354)."""
+        self._v0 = self._n_pushed
+
+    def push(
+        self,
+        frame: np.ndarray,
+        boxes: np.ndarray,
+        flow: Optional[np.ndarray] = None,
+    ) -> float:
+        """Score one frame. `frame` is (H, W, 3) uint8, `boxes` an (n, 4)
+        float xyxy array (n <= max_boxes), `flow` the frame's (H, W, 2)
+        flow map (required when the model fuses the flow stream — the
+        caller chooses the pairing rule, e.g. the reference's
+        flow(t -> t+1) with a one-frame emission delay, or a causal
+        flow(t-1 -> t))."""
+        if self.use_flow and flow is None:
+            raise ValueError("model fuses the flow stream; pass flow=")
+        frame = np.asarray(frame, np.uint8)
+        if self._ring is None:
+            h, w = frame.shape[:2]
+            self._ring = jnp.zeros((self.R, h, w, 3), jnp.uint8)
+            if self.use_flow:
+                self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
+            else:
+                self._flow_ring = jnp.zeros((1, 1, 1, 2), jnp.float32)
+        pos = self._n_pushed - self._v0  # position within current video
+
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        nb = boxes.shape[0]
+        if nb > self.K:
+            raise ValueError(f"{nb} boxes > max_boxes={self.K}")
+        boxes_pad = np.zeros((self.K, 4), np.float32)
+        boxes_pad[:nb] = boxes
+
+        slot = self._n_pushed % self.R
+        win = (self._v0 + _predict_window(pos, self.ctx)) % self.R
+        if self.use_flow:
+            of_slot = self._n_pushed % self.R_of
+            owin = (self._v0 + _predict_window(pos, self.ctx_of)) % self.R_of
+            flow_dev = jnp.asarray(np.asarray(flow, np.float32))
+        else:
+            of_slot = 0
+            owin = np.zeros(self.R_of, np.int64)
+            flow_dev = jnp.zeros((1, 1, 2), jnp.float32)
+
+        self._ring, self._flow_ring, scores, mag = self._step(
+            self._ring,
+            self._flow_ring,
+            jnp.asarray(frame),
+            flow_dev,
+            slot,
+            of_slot,
+            jnp.asarray(win, jnp.int32),
+            jnp.asarray(owin, jnp.int32),
+            jnp.asarray(boxes_pad),
+            self.variables,
+            self._stats,
+        )
+        self._n_pushed += 1
+
+        keep = np.zeros(self.K, bool)
+        keep[:nb] = True
+        keep &= ~degenerate_boxes(boxes_pad)
+        if self.use_flow:
+            keep &= np.asarray(mag) > self.cfg.fore.motion_thr
+        if not keep.any():
+            return -self.big_number
+        return float(np.asarray(scores)[keep].max())
