@@ -55,7 +55,10 @@ def cmd_test(args) -> int:
     res = run_test(
         cfg, args.base, save_masks=args.save_masks,
         per_video_norm=args.per_video_norm,
+        pixel_criterion=args.pixel_criterion,
     )
+    if "pixel_auroc" in res:
+        print(f"pixel-level AUROC (coverage 0.4): {res['pixel_auroc']:.4f}")
     if "auroc_per_scene" in res:
         for si, auc in sorted(res["auroc_per_scene"].items()):
             print(f"scene {si} frame-level AUROC: {auc:.4f}")
@@ -137,6 +140,11 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--save-masks", action="store_true")
     p.add_argument("--per-video-norm", action="store_true")
+    p.add_argument(
+        "--pixel-criterion", action="store_true",
+        help="also evaluate the pixel-level coverage criterion "
+        "(needs pixel GT masks)",
+    )
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("demo", help="end-to-end demo on a synthetic dataset")

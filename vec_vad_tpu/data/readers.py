@@ -191,6 +191,50 @@ def dataset_mean_std(frames) -> "tuple[np.ndarray, np.ndarray]":
     return mean, np.sqrt(np.maximum(s2 / cnt - mean ** 2, 0.0))
 
 
+def load_pixel_masks(
+    dataset_name: str, root: str, index: VideoIndex
+) -> np.ndarray:
+    """Per-frame binary GT PIXEL masks (N, H, W) for the test split, for
+    the pixel-level criterion (eval.metrics.pixel_level_roc).
+
+    Available where the dataset ships pixel GT: the ped layout's `*_gt`
+    .bmp mask dirs (vad_datasets.py:262-272; synthetic datasets use the
+    same layout) and avenue's volLabel per-frame masks
+    (vad_datasets.py:480-483). ShanghaiTech ships frame-level GT only.
+    """
+    if dataset_name == "ShanghaiTech":
+        raise ValueError("ShanghaiTech ships frame-level GT only")
+    if dataset_name == "avenue":
+        import scipy.io as sio
+
+        gt_dir = os.path.join(root, "ground_truth_demo", "testing_label_mask")
+        masks: List[np.ndarray] = []
+        for x in range(index.num_videos):
+            vol = sio.loadmat(os.path.join(gt_dir, f"{x + 1}_label.mat"))[
+                "volLabel"
+            ]
+            masks += [np.asarray(vol[0, i]) > 0 for i in range(vol.shape[1])]
+    else:
+        import cv2
+
+        gt_dirs = sorted(
+            d
+            for d in glob.glob(os.path.join(root, "Test", "*"))
+            if os.path.isdir(d) and d.endswith("_gt")
+        )
+        addrs: List[str] = []
+        for d in gt_dirs:
+            addrs += sorted(glob.glob(os.path.join(d, "*.bmp")))
+        masks = [
+            cv2.imread(a, cv2.IMREAD_GRAYSCALE) > 0 for a in addrs
+        ]
+    if len(masks) != index.total_frames:
+        raise ValueError(
+            f"GT masks ({len(masks)}) != dataset frames ({index.total_frames})"
+        )
+    return np.stack(masks)
+
+
 def load_frame_labels(dataset_name: str, root: str, index: VideoIndex) -> np.ndarray:
     """Per-frame binary anomaly labels for the test split.
 

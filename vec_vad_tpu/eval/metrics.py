@@ -168,3 +168,61 @@ def save_roc_pr_curve_data(
     if file_path is not None:
         np.savez_compressed(file_path, **res.curves)
     return res.roc_auc
+
+
+# ---------------------------------------------------------------------------
+# Pixel-level criterion
+# ---------------------------------------------------------------------------
+
+def pixel_level_scalars(
+    score_masks: np.ndarray,
+    gt_masks: np.ndarray,
+    coverage: float = 0.4,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Reduce per-pixel score masks to per-frame scalars implementing the
+    standard VAD pixel-level criterion (Mahadevan et al., CVPR'10; the
+    reference stubs every non-frame criterion with NotImplementedError,
+    test.py:400-401 — this is a capability extension).
+
+    An anomalous frame counts as detected at threshold t iff the predicted
+    anomalous pixels (score >= t) cover >= `coverage` of its GT anomalous
+    pixels; a normal frame is a false positive iff ANY pixel fires. Both
+    rules are monotone in t, so each frame reduces to one scalar:
+
+      * anomalous frame: the k-th largest score inside the GT region,
+        k = ceil(coverage * |GT|)  (detected iff t <= that value);
+      * normal frame:    the max score over the whole frame.
+
+    The pixel-level ROC is then the ordinary score ROC over these scalars.
+    Returns (scalars, labels).
+    """
+    score_masks = np.asarray(score_masks, np.float64)
+    gt = np.asarray(gt_masks) > 0
+    n = score_masks.shape[0]
+    if gt.shape[0] != n:
+        raise ValueError(f"{n} score masks vs {gt.shape[0]} GT masks")
+    labels = gt.reshape(n, -1).any(axis=1).astype(np.int64)
+    scalars = np.empty(n, np.float64)
+    flat = score_masks.reshape(n, -1)
+    for i in range(n):
+        if labels[i]:
+            region = flat[i][gt[i].reshape(-1)]
+            k = max(int(np.ceil(coverage * region.size)), 1)
+            # k-th largest
+            scalars[i] = np.partition(region, region.size - k)[region.size - k]
+        else:
+            scalars[i] = flat[i].max()
+    return scalars, labels
+
+
+def pixel_level_roc(
+    score_masks: np.ndarray,
+    gt_masks: np.ndarray,
+    coverage: float = 0.4,
+    file_path: "Optional[str]" = None,
+) -> float:
+    """Pixel-level AUROC under the coverage criterion (see
+    pixel_level_scalars); persists the ROC/PR curves like
+    save_roc_pr_curve_data when `file_path` is given."""
+    scalars, labels = pixel_level_scalars(score_masks, gt_masks, coverage)
+    return save_roc_pr_curve_data(scalars, labels, file_path, verbose=False)

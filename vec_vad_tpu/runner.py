@@ -193,12 +193,16 @@ def run_test(
     model: Optional[VadModel] = None,
     save_masks: bool = False,
     per_video_norm: bool = False,
+    pixel_criterion: bool = False,
 ) -> dict:
     """Scoring + evaluation; returns a result dict with AUROC etc.
 
     per_video_norm: min-max normalize frame scores within each video before
     AUROC (optional evaluation variant; the reference normalizes only by
     training statistics).
+    pixel_criterion: also evaluate the pixel-level coverage criterion
+    (eval.metrics.pixel_level_roc; needs pixel GT masks — ped-layout or
+    avenue). Adds 'pixel_auroc' to the result.
     """
     if model is None:
         path = os.path.join(
@@ -215,11 +219,14 @@ def run_test(
 
     results_dir = os.path.join(base, cfg.results_dir, cfg.dataset_name)
     os.makedirs(results_dir, exist_ok=True)
-    if save_masks:
-        masks = pixel_score_masks(
-            cube_scores, cubes, n, cfg.dataset.frame_hw
-        )
-        np.save(os.path.join(results_dir, "score_masks.npy"), masks)
+    masks = None
+    if save_masks or pixel_criterion:
+        # actual stream geometry, not the config table's (synthetic
+        # workspaces run reduced frame sizes under a real dataset name)
+        frame_hw = tuple(data.frames.shape[1:3])
+        masks = pixel_score_masks(cube_scores, cubes, n, frame_hw)
+        if save_masks:
+            np.save(os.path.join(results_dir, "score_masks.npy"), masks)
 
     if per_video_norm:
         from vec_vad_tpu.score.scoring import normalize_scores_per_video
@@ -235,6 +242,20 @@ def run_test(
     )
     out["frame_scores"] = frame_scores
     out["labels"] = labels
+    if pixel_criterion:
+        from vec_vad_tpu.data.readers import load_pixel_masks
+        from vec_vad_tpu.eval.metrics import pixel_level_roc
+
+        gt_masks = load_pixel_masks(cfg.dataset_name, root, data.index)
+        out["pixel_auroc"] = pixel_level_roc(
+            masks,
+            gt_masks,
+            file_path=os.path.join(
+                results_dir,
+                f"{cfg.modality}_{cfg.fore.extraction_mode}_{cfg.method}"
+                "_pixel_results.npz",
+            ),
+        )
     return out
 
 
