@@ -23,6 +23,17 @@ import jax  # noqa: E402
 # ran — the env var alone is too late. Force the config directly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's dominant cost on this single
+# CPU core is XLA compiles (the FlowNet train-step compile alone runs for
+# minutes); caching them makes repeat suite runs several times faster.
+_cache_dir = os.environ.get(
+    "VEC_VAD_TPU_TEST_CACHE", "/tmp/vec_vad_tpu_xla_cache"
+)
+if _cache_dir:  # set VEC_VAD_TPU_TEST_CACHE="" to disable
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
