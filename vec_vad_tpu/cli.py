@@ -69,6 +69,68 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Online serving demo/driver: stream the test split frame-by-frame
+    through serve.StreamingScorer (one device call per frame) and report
+    steady-state latency, plus the streamed AUROC when the whole split is
+    scored (equal to offline `test` by construction, test_serve.py)."""
+    import time
+
+    import numpy as np
+
+    from vec_vad_tpu.runner import load_split
+    from vec_vad_tpu.runtime.artifacts import load_vad_model
+    from vec_vad_tpu.serve import StreamingScorer
+
+    cfg = _load_cfg(args)
+    model_path = os.path.join(
+        args.base, cfg.data_root_dir, cfg.modality,
+        f"{cfg.dataset_name}_model_{cfg.fore.extraction_mode}_{cfg.method}.npz",
+    )
+    model = load_vad_model(model_path)
+    data = load_split(cfg, args.base, "test")
+    scorer = StreamingScorer.from_model(model)
+
+    n = data.index.total_frames if args.frames <= 0 else min(
+        args.frames, data.index.total_frames
+    )
+    scores, lat = [], []
+    i = 0
+    for ln in data.index.video_lengths:
+        if i >= n:
+            break
+        scorer.start_video()
+        for _ in range(int(ln)):
+            if i >= n:
+                break
+            frame = np.asarray(data.frames[i])
+            flow = (
+                np.asarray(data.flow[i])
+                if scorer.use_flow and data.flow is not None
+                else None
+            )
+            t0 = time.perf_counter()
+            scores.append(scorer.push(frame, data.boxes[i], flow=flow))
+            lat.append(time.perf_counter() - t0)
+            i += 1
+    lat = np.array(lat[2:]) if len(lat) > 2 else np.array(lat)  # drop compiles
+    print(
+        f"streamed {i} frames: median latency {np.median(lat) * 1e3:.1f} ms "
+        f"({1.0 / max(np.median(lat), 1e-9):.1f} fps steady-state)"
+    )
+    if args.frames <= 0 and len(scores) == data.index.total_frames:
+        from vec_vad_tpu.data.readers import load_frame_labels
+        from vec_vad_tpu.eval.metrics import evaluate_scores
+
+        root = os.path.join(args.base, cfg.raw_dataset_dir, cfg.dataset_name)
+        labels = load_frame_labels(cfg.dataset_name, root, data.index)
+        print(
+            "frame-level AUROC (streamed): "
+            f"{evaluate_scores(np.array(scores), labels).roc_auc:.4f}"
+        )
+    return 0
+
+
 def cmd_demo(args) -> int:
     import importlib.util
 
@@ -87,7 +149,10 @@ def cmd_calc_flow(args) -> int:
 
     cfg = _load_cfg(args)
     splits = tuple(args.splits.split(","))
-    run_calc_flow(cfg, args.base, checkpoint=args.checkpoint, splits=splits)
+    run_calc_flow(
+        cfg, args.base, checkpoint=args.checkpoint, splits=splits,
+        resident=args.resident,
+    )
     return 0
 
 
@@ -147,6 +212,18 @@ def main(argv=None) -> int:
     )
     p.set_defaults(fn=cmd_test)
 
+    p = sub.add_parser(
+        "serve",
+        help="online streaming scorer over the test split "
+        "(one device call per frame)",
+    )
+    _add_common(p)
+    p.add_argument(
+        "--frames", type=int, default=0,
+        help="stream only the first N frames (0 = whole split + AUROC)",
+    )
+    p.set_defaults(fn=cmd_serve)
+
     p = sub.add_parser("demo", help="end-to-end demo on a synthetic dataset")
     p.set_defaults(fn=cmd_demo)
 
@@ -154,6 +231,10 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--checkpoint", default=None, help="FlowNet2 .pth(.tar)")
     p.add_argument("--splits", default="train,test")
+    p.add_argument(
+        "--resident", action="store_true",
+        help="whole-split flow in one device call (HBM-resident)",
+    )
     p.set_defaults(fn=cmd_calc_flow)
 
     p = sub.add_parser("extract-frames", help="video file -> frame images")

@@ -58,14 +58,26 @@ def compute_optical_flow(
     frames: np.ndarray,
     chunk: int = 4,
     model_hw: Tuple[int, int] = (384, 512),
+    resident: bool = False,
 ) -> np.ndarray:
-    """Dense flow for every frame of a split: (N, H, W, 2) float32."""
+    """Dense flow for every frame of a split: (N, H, W, 2) float32.
+
+    resident=True runs the WHOLE split in one device call (lax.map over
+    chunks, the flow buffer accumulating in HBM) followed by one bulk
+    download, instead of paying a dispatch + download round trip per
+    chunk — the same design as the resident scoring path, and the right
+    shape for remote/tunneled accelerators where per-call latency
+    dominates. Needs HBM for frames + N*H*W*2 floats of flow.
+    """
     n, H, W, C = frames.shape
     first, second = flow_pair_indices(index)
     mh, mw = model_hw
 
-    @jax.jit
-    def run_chunk(f1, f2):
+    # `v` is an explicit argument everywhere (not a closure capture):
+    # captured weight arrays serialize into the program body, which blows
+    # past remote-compile request limits at FlowNet2 size (observed
+    # HTTP 413 on the relay backend).
+    def run_chunk(v, f1, f2):
         # (B, H, W, C) uint8 pairs -> (B, H, W, 2) flow at original size
         r1 = resize_bilinear(f1, mh, mw)
         r2 = resize_bilinear(f2, mh, mw)
@@ -73,12 +85,35 @@ def compute_optical_flow(
             r1 = jnp.repeat(r1, 3, axis=-1)
             r2 = jnp.repeat(r2, 3, axis=-1)
         pair = jnp.stack([r1, r2], axis=1)  # (B, 2, mh, mw, 3)
-        flow = net.apply(variables, pair)
+        flow = net.apply(v, pair)
         # resize back without magnitude rescaling (calc_optical_flow.py:59,82)
         return resize_bilinear(flow, H, W)
 
+    frames_j = frames if isinstance(frames, jax.Array) else jnp.asarray(
+        np.asarray(frames)
+    )
+
+    if resident:
+        n_pad = -(-n // chunk) * chunk
+        sel = np.concatenate([np.arange(n), np.full(n_pad - n, n - 1)])
+        i1 = jnp.asarray(first[sel]).reshape(n_pad // chunk, chunk)
+        i2 = jnp.asarray(second[sel]).reshape(n_pad // chunk, chunk)
+
+        @jax.jit
+        def run_all(v, fj, i1, i2):
+            def one(args):
+                a, b = args
+                return run_chunk(
+                    v, jnp.take(fj, a, axis=0), jnp.take(fj, b, axis=0)
+                )
+
+            return jax.lax.map(one, (i1, i2))
+
+        flow = np.asarray(run_all(variables, frames_j, i1, i2))
+        return flow.reshape(n_pad, H, W, 2)[:n]
+
+    run_chunk_j = jax.jit(run_chunk)
     out = np.empty((n, H, W, 2), np.float32)
-    frames_j = jnp.asarray(frames)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         sel = np.arange(lo, hi)
@@ -86,7 +121,7 @@ def compute_optical_flow(
         sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
         f1 = jnp.take(frames_j, jnp.asarray(first[sel_p]), axis=0)
         f2 = jnp.take(frames_j, jnp.asarray(second[sel_p]), axis=0)
-        flow = np.asarray(run_chunk(f1, f2))
+        flow = np.asarray(run_chunk_j(variables, f1, f2))
         out[lo:hi] = flow[: sel.size]
     return out
 

@@ -304,9 +304,11 @@ def run_calc_flow(
     checkpoint: Optional[str] = None,
     splits: Tuple[str, ...] = ("train", "test"),
     chunk: int = 4,
+    resident: bool = False,
 ) -> None:
     """Precompute the optical-flow tree with FlowNet2
-    (calc_optical_flow.py equivalent)."""
+    (calc_optical_flow.py equivalent). resident=True computes each
+    split's flow in one device call (flow.driver.compute_optical_flow)."""
     import jax
     import jax.numpy as jnp
 
@@ -329,6 +331,8 @@ def run_calc_flow(
             cfg.dataset_name, root, split, cfg.dataset.file_ext
         )
         frames = np.asarray(LazyFrameStack(index))
-        flow = compute_optical_flow(net, variables, index, frames, chunk=chunk)
+        flow = compute_optical_flow(
+            net, variables, index, frames, chunk=chunk, resident=resident
+        )
         save_flow_tree(flow, index, of_root, root)
         print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
