@@ -133,6 +133,24 @@ def main() -> None:
         "vs_baseline": round(fps / 25.0, 2),
     }
     record.update(pallas_correlation_check())
+
+    # Online serving latency: StreamingScorer's one-device-call-per-frame
+    # step on the same model/geometry (25 fps real-time needs <40 ms).
+    from vec_vad_tpu.serve import StreamingScorer
+
+    scorer = StreamingScorer(
+        cfg, variables, stats, net=net, max_boxes=cfg.fore.max_boxes_per_frame
+    )
+    scorer.start_video()
+    lat = []
+    for i in range(48):
+        t0 = time.perf_counter()
+        s = scorer.push(frames[i], boxes_list[i])
+        lat.append(time.perf_counter() - t0)
+        assert np.isfinite(s)
+    med = float(np.median(lat[4:]) * 1000.0)
+    record["streaming_ms_per_frame"] = round(med, 1)
+    record["streaming_fps"] = round(1000.0 / med, 1)
     print(json.dumps(record))
 
 

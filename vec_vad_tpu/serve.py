@@ -108,6 +108,7 @@ class StreamingScorer:
         # from the stream, not the config's dataset table)
         self._ring = None
         self._flow_ring = None
+        self._zero_flow = None
         self._n_pushed = 0  # global frames pushed (ring write counter)
         self._v0 = 0  # value of _n_pushed when the current video started
         self._step = self._build_step()
@@ -173,7 +174,9 @@ class StreamingScorer:
                 oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
                 osc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
                 score = score + w_of * (osc - mu_o) / sd_o
-            return ring, flow_ring, score, mag
+            # one (2K,) result vector -> the host forces ONE download
+            # (score and mag separately would each pay a tunnel round trip)
+            return ring, flow_ring, jnp.concatenate([score, mag])
 
         return step
 
@@ -220,32 +223,38 @@ class StreamingScorer:
         if self.use_flow:
             of_slot = self._n_pushed % self.R_of
             owin = (self._v0 + _predict_window(pos, self.ctx_of)) % self.R_of
-            flow_dev = jnp.asarray(np.asarray(flow, np.float32))
+            flow_in = np.asarray(flow, np.float32)
         else:
             of_slot = 0
             owin = np.zeros(self.R_of, np.int64)
-            flow_dev = jnp.zeros((1, 1, 2), jnp.float32)
+            if self._zero_flow is None:
+                self._zero_flow = jnp.zeros((1, 1, 2), jnp.float32)
+            flow_in = self._zero_flow
 
-        self._ring, self._flow_ring, scores, mag = self._step(
+        # host arrays go straight to the jitted call (one dispatch moves
+        # them all) instead of paying a jnp.asarray round trip each
+        self._ring, self._flow_ring, out = self._step(
             self._ring,
             self._flow_ring,
-            jnp.asarray(frame),
-            flow_dev,
+            frame,
+            flow_in,
             slot,
             of_slot,
-            jnp.asarray(win, jnp.int32),
-            jnp.asarray(owin, jnp.int32),
-            jnp.asarray(boxes_pad),
+            win.astype(np.int32),
+            owin.astype(np.int32),
+            boxes_pad,
             self.variables,
             self._stats,
         )
         self._n_pushed += 1
+        out = np.asarray(out)  # the single forced download
+        scores, mag = out[: self.K], out[self.K :]
 
         keep = np.zeros(self.K, bool)
         keep[:nb] = True
         keep &= ~degenerate_boxes(boxes_pad)
         if self.use_flow:
-            keep &= np.asarray(mag) > self.cfg.fore.motion_thr
+            keep &= mag > self.cfg.fore.motion_thr
         if not keep.any():
             return -self.big_number
-        return float(np.asarray(scores)[keep].max())
+        return float(scores[keep].max())
