@@ -144,3 +144,50 @@ def test_streaming_edge_cases():
             {"params": blk.params, "batch_stats": blk.batch_stats},
             (0.0, 1.0, 0.0, 1.0),
         )
+
+
+def test_streaming_grid_matches_offline():
+    """Multi-block (2x2 grid) streaming: per-box host routing to the
+    stacked block models must reproduce the offline CubeSet path,
+    including big_number for boxes landing in untrained cells."""
+    from vec_vad_tpu.pipeline import frame_level_scores, score_cubes
+
+    ds = make_synthetic_dataset(
+        frames_per_video=16, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=21,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(
+            patch_size=16, max_boxes_per_frame=8, h_block=2, w_block=2
+        ),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=False
+        ),
+    )
+    tr_idx = VideoIndex(["v"], ds.train_video_lengths)
+    cubes = extract_cube_set(cfg, SPEC, tr_idx, ds.train_frames, ds.train_boxes)
+    trainer = make_trainer(cfg)
+    model = train_model(cfg, cubes, trainer=trainer)
+    assert len(model.blocks) >= 2  # a real grid
+
+    te_idx = VideoIndex(["v"], ds.test_video_lengths)
+    tc = extract_cube_set(
+        cfg, SPEC, te_idx, ds.test_frames, ds.test_boxes,
+        block_mode=cfg.fore.test_block_mode,
+    )
+    offline = frame_level_scores(
+        score_cubes(model, tc, trainer=trainer), tc, te_idx.total_frames
+    )
+
+    scorer = StreamingScorer.from_model(model)
+    streamed = []
+    i = 0
+    for ln in te_idx.video_lengths:
+        scorer.start_video()
+        for _ in range(int(ln)):
+            streamed.append(scorer.push(ds.test_frames[i], ds.test_boxes[i]))
+            i += 1
+    np.testing.assert_allclose(
+        np.asarray(streamed), offline, rtol=2e-4, atol=2e-4
+    )

@@ -216,7 +216,10 @@ class GridTrainer:
             for _ in range(cfg.epochs):
                 order = rng.permutation(n)
                 pad = steps_per_epoch * bsz - n
-                sched = np.concatenate([order, order[:pad]])
+                # cyclic pad: pad may exceed n for blocks smaller than a
+                # batch (order[:pad] would truncate); padded slots carry
+                # zero loss weight so their content is irrelevant
+                sched = np.concatenate([order, np.resize(order, pad)])
                 w = np.concatenate(
                     [np.ones(n, np.float32), np.zeros(pad, np.float32)]
                 )
