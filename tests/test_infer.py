@@ -89,3 +89,52 @@ def test_fused_matches_cubeset_path():
         cube_batch=16,
     )
     np.testing.assert_allclose(resident, ref_scores, rtol=2e-4, atol=2e-4)
+
+
+def test_segmented_matches_resident():
+    """infer_frame_scores_segmented (bounded-HBM path for avenue/SHT-scale
+    splits) must equal the single-upload resident path, including the
+    context overlap at segment boundaries and video starts."""
+    from vec_vad_tpu.infer import (
+        infer_frame_scores_resident,
+        infer_frame_scores_segmented,
+    )
+
+    ds = make_synthetic_dataset(
+        frames_per_video=13, n_train_videos=1, n_test_videos=2,
+        frame_h=48, frame_w=64, seed=17,
+    )
+    spec = DatasetSpec(
+        name="s", frame_h=48, frame_w=64, file_ext=".tif", scene_num=1,
+        ap_score_thr=0.5, ap_min_area=16.0, cover_thr=0.6,
+        mt_area_thr=16.0, mt_binary_thr=18.0, mt_extend=2, mt_gauss_mask_size=3,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=8),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=False
+        ),
+    )
+    tr_idx = VideoIndex(["a"], ds.train_video_lengths)
+    cubes = extract_cube_set(cfg, spec, tr_idx, ds.train_frames, ds.train_boxes)
+    trainer = make_trainer(cfg)
+    model = train_model(cfg, cubes, trainer=trainer)
+    blk = model.blocks[(0, 0, 0)]
+
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    boxes_pad, valid = pad_boxes(ds.test_boxes, 8)
+    windows = te_idx.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+    mu, sd = blk.raw_stats
+    variables = {"params": blk.params, "batch_stats": blk.batch_stats}
+    full = infer_frame_scores_resident(
+        cfg, variables, (mu, sd, 1.0, 1.0), ds.test_frames, windows,
+        boxes_pad, valid, chunk=4, cube_batch=16,
+    )
+    seg = infer_frame_scores_segmented(
+        cfg, variables, (mu, sd, 1.0, 1.0), ds.test_frames, windows,
+        boxes_pad, valid, segment_frames=6, chunk=4, cube_batch=16,
+    )
+    np.testing.assert_allclose(seg, full, rtol=2e-4, atol=2e-4)

@@ -197,6 +197,74 @@ def infer_frame_scores_resident(
     return out
 
 
+def infer_frame_scores_segmented(
+    cfg: PipelineConfig,
+    variables,
+    stats: Tuple[float, float, float, float],
+    frames,
+    windows: np.ndarray,
+    boxes_pad: np.ndarray,
+    valid: np.ndarray,
+    flow=None,
+    of_windows: Optional[np.ndarray] = None,
+    segment_frames: int = 4096,
+    chunk: int = 32,
+    cube_batch: int = 2048,
+    net: Optional[SelfCompletionNet] = None,
+    compute_dtype=jnp.float32,
+    big_number: float = BIG_NUMBER,
+) -> np.ndarray:
+    """Resident scoring for splits whose frame stack + cube buffer exceed
+    HBM (avenue is ~10 GB of frames at 15k x 360x640; ShanghaiTech ~40 GB —
+    both too big for the single-upload infer_frame_scores_resident on a
+    16 GB chip).
+
+    Splits the frame axis into `segment_frames`-sized segments and runs the
+    3-call resident design per segment. Each segment uploads exactly the
+    frame range its context windows reference (computed from the windows
+    rows themselves, so every border mode works, including the overlap at
+    segment boundaries), keeping device-call count O(n / segment_frames)
+    and peak HBM bounded by one segment. `frames`/`flow` may be lazy
+    stacks — only the referenced ranges materialize host-side.
+
+    Equal to infer_frame_scores_resident by construction (test_infer.py).
+    """
+    n = valid.shape[0]
+    if windows.ndim == 1:
+        windows = windows[:, None]
+    if of_windows is not None and of_windows.ndim == 1:
+        of_windows = of_windows[:, None]
+    out = np.empty(n, np.float32)
+    for lo in range(0, n, segment_frames):
+        hi = min(lo + segment_frames, n)
+        w_seg = windows[lo:hi]
+        ref_lo, ref_hi = int(w_seg.min()), int(w_seg.max()) + 1
+        kwargs = {}
+        if flow is not None and of_windows is not None:
+            ow_seg = of_windows[lo:hi]
+            oref_lo, oref_hi = int(ow_seg.min()), int(ow_seg.max()) + 1
+            kwargs = dict(
+                flow=np.asarray(flow[oref_lo:oref_hi]),
+                of_windows=ow_seg - oref_lo,
+            )
+        out[lo:hi] = infer_frame_scores_resident(
+            cfg,
+            variables,
+            stats,
+            np.asarray(frames[ref_lo:ref_hi]),
+            w_seg - ref_lo,
+            boxes_pad[lo:hi],
+            valid[lo:hi],
+            chunk=chunk,
+            cube_batch=cube_batch,
+            net=net,
+            compute_dtype=compute_dtype,
+            big_number=big_number,
+            **kwargs,
+        )
+    return out
+
+
 def infer_frame_scores_grid(
     model,
     test_cubes,
