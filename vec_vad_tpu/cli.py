@@ -56,6 +56,7 @@ def cmd_test(args) -> int:
         cfg, args.base, save_masks=args.save_masks,
         per_video_norm=args.per_video_norm,
         pixel_criterion=args.pixel_criterion,
+        resident=args.resident,
     )
     if "pixel_auroc" in res:
         print(f"pixel-level AUROC (coverage 0.4): {res['pixel_auroc']:.4f}")
@@ -209,6 +210,11 @@ def main(argv=None) -> int:
         "--pixel-criterion", action="store_true",
         help="also evaluate the pixel-level coverage criterion "
         "(needs pixel GT masks)",
+    )
+    p.add_argument(
+        "--resident", action="store_true",
+        help="device-resident test extraction (cubes stay in HBM for "
+        "scoring; skips the on-disk cube cache)",
     )
     p.set_defaults(fn=cmd_test)
 

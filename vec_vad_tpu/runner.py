@@ -194,6 +194,7 @@ def run_test(
     save_masks: bool = False,
     per_video_norm: bool = False,
     pixel_criterion: bool = False,
+    resident: bool = False,
 ) -> dict:
     """Scoring + evaluation; returns a result dict with AUROC etc.
 
@@ -203,6 +204,8 @@ def run_test(
     pixel_criterion: also evaluate the pixel-level coverage criterion
     (eval.metrics.pixel_level_roc; needs pixel GT masks — ped-layout or
     avenue). Adds 'pixel_auroc' to the result.
+    resident: extract the test split device-resident (cubes stay in HBM
+    for scoring; skips the on-disk cube cache) — like run_train's flag.
     """
     if model is None:
         path = os.path.join(
@@ -211,7 +214,17 @@ def run_test(
         )
         model = load_vad_model(path)
     data = load_split(cfg, base, "test")
-    cubes = _extract_cached(cfg, base, "test", data, cfg.fore.test_block_mode)
+    if resident:
+        from vec_vad_tpu.pipeline import extract_cube_set_resident
+
+        cubes = extract_cube_set_resident(
+            cfg, cfg.dataset, data.index, data.frames, data.boxes,
+            flow_frames=data.flow, block_mode=cfg.fore.test_block_mode,
+        )
+    else:
+        cubes = _extract_cached(
+            cfg, base, "test", data, cfg.fore.test_block_mode
+        )
     trainer = make_trainer(cfg)
     cube_scores = score_cubes(model, cubes, trainer=trainer)
     n = data.index.total_frames
