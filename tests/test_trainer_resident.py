@@ -54,6 +54,21 @@ def test_score_scan_matches_stepwise(rng):
     np.testing.assert_allclose(o1, o2, rtol=1e-5)
 
 
+def test_resident_handles_tiny_blocks(rng):
+    """A block with fewer than batch_size/2 cubes needs a CYCLIC schedule
+    pad (order[:pad] would truncate: n=5 at bsz=16 yields 10 rows that
+    cannot reshape to (-1, 16)) — the sparse-grid crash ADVICE round 2."""
+    cfg = CompletionConfig(
+        nf=4, epochs=2, batch_size=16, context_of_num=0, use_flow=False
+    )
+    net = make_completion_net(cfg)
+    trainer = BlockTrainer(net, cfg, get_mesh(), patch_size=16)
+    raw = rng.integers(0, 256, (5, 16, 16, 15)).astype(np.uint8)
+    blk = trainer.fit_block(raw, None, seed=0, resident=True)
+    assert blk.raw_scores.shape == (5,)
+    assert np.isfinite(blk.raw_scores).all()
+
+
 def test_resident_handles_partial_batches(rng):
     cfg = CompletionConfig(
         nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=False

@@ -284,7 +284,7 @@ def infer_frame_scores_grid(
     """
     from vec_vad_tpu.pipeline import VadModel, group_by_block
     from vec_vad_tpu.score.scoring import degenerate_boxes, fuse_scores
-    from vec_vad_tpu.train.grid_trainer import GridTrainer
+    from vec_vad_tpu.train.grid_trainer import get_grid_trainer
 
     assert isinstance(model, VadModel)
     cfg = model.cfg
@@ -302,7 +302,7 @@ def infer_frame_scores_grid(
         if model.blocks.get(k) is not None
     }
     if trained:
-        gt = GridTrainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
+        gt = get_grid_trainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
         block_data = [
             (
                 key,

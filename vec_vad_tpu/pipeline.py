@@ -319,6 +319,14 @@ def extract_cube_set_resident(
     fc = cfg.fore
     mc = cfg.model
     n = index.total_frames
+    # a frames/index mismatch would otherwise surface as a clamped
+    # out-of-bounds gather (jnp.take silently duplicates the last frame)
+    assert frames.shape[0] == n, (
+        f"frames ({frames.shape[0]}) != index.total_frames ({n})"
+    )
+    assert len(boxes_list) == n, (
+        f"boxes_list ({len(boxes_list)}) != index.total_frames ({n})"
+    )
     block_mode = block_mode or fc.train_block_mode
 
     peak = max(
@@ -478,10 +486,10 @@ def train_model(
         )
 
     if parallel_blocks and eligible:
-        from vec_vad_tpu.train.grid_trainer import GridTrainer
+        from vec_vad_tpu.train.grid_trainer import get_grid_trainer
 
         base = trainer or make_trainer(cfg)
-        gt = GridTrainer(base.net, cfg.model, base.mesh, cfg.fore.patch_size)
+        gt = get_grid_trainer(base.net, cfg.model, base.mesh, cfg.fore.patch_size)
         block_data = [
             (
                 key,
@@ -562,9 +570,9 @@ def score_cubes(
             scores[idx] = big_number
 
     if len(trained) > 1:
-        from vec_vad_tpu.train.grid_trainer import GridTrainer
+        from vec_vad_tpu.train.grid_trainer import get_grid_trainer
 
-        gt = GridTrainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
+        gt = get_grid_trainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
         block_data = [
             (
                 key,

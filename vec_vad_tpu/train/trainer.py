@@ -364,7 +364,11 @@ class BlockTrainer:
         for _ in range(cfg.epochs):
             order = rng.permutation(n)
             pad = steps_per_epoch * bsz - n
-            idx_rows.append(np.concatenate([order, order[: pad]]))
+            # cyclic pad: pad may exceed n for blocks smaller than a batch
+            # (order[:pad] would truncate and break the (-1, bsz) reshape);
+            # padded slots carry zero loss weight so their content is
+            # irrelevant (same scheme as grid_trainer.fit_blocks)
+            idx_rows.append(np.concatenate([order, np.resize(order, pad)]))
             w_rows.append(
                 np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
             )
