@@ -138,6 +138,82 @@ def test_flow_trainer_step():
     assert losses[0] != losses[-1]
 
 
+class _CountingStack:
+    """Array-like [lo:hi] view that records the widest slice decoded —
+    proves the segmented driver never materializes the whole split."""
+
+    def __init__(self, frames):
+        self._f = frames
+        self.shape = frames.shape
+        self.max_width = 0
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            lo, hi, _ = key.indices(self.shape[0])
+            self.max_width = max(self.max_width, hi - lo)
+        return self._f[key]
+
+
+def test_compute_optical_flow_segmented_matches_chunked(tmp_path):
+    """The memory-bounded segmented path (per-segment decode/upload, one
+    device call per segment, immediate per-frame writes) must reproduce
+    the materialized path exactly — segment boundaries crossing video
+    boundaries, tail padding and the boundary pair rule included — while
+    never decoding more than a segment (+2 neighbors) of frames."""
+    from vec_vad_tpu.flow.driver import (
+        compute_optical_flow_segmented,
+        flow_tree_writer,
+    )
+
+    class StubNet:
+        def apply(self, variables, pair):
+            return (pair[:, 1, :, :, :2] - pair[:, 0, :, :, :2]) / 10.0
+
+    idx = VideoIndex(["a", "b", "c"], np.array([6, 5, 7]))
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (18, 32, 40, 3), dtype=np.uint8)
+    expect = compute_optical_flow(StubNet(), {}, idx, frames, chunk=4)
+
+    lazy = _CountingStack(frames)
+    got = np.zeros_like(expect)
+    writes = []
+
+    def write(i, f):
+        writes.append(i)
+        got[i] = f
+
+    n = compute_optical_flow_segmented(
+        StubNet(), {}, idx, lazy, write, segment_frames=5, chunk=4
+    )
+    assert n == 18
+    assert writes == list(range(18))  # every frame written exactly once
+    # segment_frames=5 rounds up to 8 (chunk multiple); +2 neighbor frames
+    assert lazy.max_width <= 8 + 2
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_flow_tree_writer_matches_save_flow_tree(tmp_path):
+    from vec_vad_tpu.flow.driver import flow_tree_writer, save_flow_tree
+
+    idx = VideoIndex(["va", "vb"], np.array([2, 2]))
+    idx.frame_paths = [
+        "root/ds/va/000.jpg", "root/ds/va/001.jpg",
+        "root/ds/vb/000.jpg", "root/ds/vb/001.jpg",
+    ]
+    flow = np.random.default_rng(3).normal(size=(4, 4, 4, 2)).astype(np.float32)
+    d1, d2 = str(tmp_path / "w"), str(tmp_path / "s")
+    w = flow_tree_writer(idx, d1, "root/ds")
+    for i in range(4):
+        w(i, flow[i])
+    save_flow_tree(flow, idx, d2, "root/ds")
+    import os
+
+    for rel in ["va/000.npy", "va/001.npy", "vb/000.npy", "vb/001.npy"]:
+        a = np.load(os.path.join(d1, rel))
+        b = np.load(os.path.join(d2, rel))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_compute_optical_flow_resident_matches_chunked():
     """The whole-split resident path (one lax.map device call) must equal
     the per-chunk path, including tail padding and the boundary rule."""

@@ -97,10 +97,16 @@ def cmd_serve(args) -> int:
     )
     scores, lat = [], []
     i = 0
+    scene_idx = data.index.scene_idx
     for ln in data.index.video_lengths:
         if i >= n:
             break
-        scorer.start_video()
+        # route each video through its own scene's block row (all-ones for
+        # the stock datasets; real multi-scene grids would mis-route through
+        # scene 1 otherwise — the offline path routes per-frame the same way)
+        scorer.start_video(
+            scene=int(scene_idx[i]) if scene_idx is not None else 1
+        )
         for _ in range(int(ln)):
             if i >= n:
                 break
@@ -152,7 +158,7 @@ def cmd_calc_flow(args) -> int:
     splits = tuple(args.splits.split(","))
     run_calc_flow(
         cfg, args.base, checkpoint=args.checkpoint, splits=splits,
-        resident=args.resident,
+        resident=args.resident, segment_frames=args.segment_frames or None,
     )
     return 0
 
@@ -240,6 +246,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--resident", action="store_true",
         help="whole-split flow in one device call (HBM-resident)",
+    )
+    p.add_argument(
+        "--segment-frames", type=int, default=0,
+        help="force the memory-bounded segmented path with this segment "
+        "size (0 = auto-route by footprint; oversized splits stream)",
     )
     p.set_defaults(fn=cmd_calc_flow)
 

@@ -51,6 +51,29 @@ def flow_pair_indices(index: VideoIndex) -> Tuple[np.ndarray, np.ndarray]:
     return first, second
 
 
+def _make_run_chunk(net, C: int, H: int, W: int, mh: int, mw: int):
+    """The per-chunk flow program: (B,H,W,C) uint8 pairs -> (B,H,W,2) flow
+    at original size (resize to model_hw, gray->3ch replicate, FlowNet2,
+    resize back WITHOUT magnitude rescaling — calc_optical_flow.py:59,82).
+
+    `v` is an explicit argument everywhere (not a closure capture):
+    captured weight arrays serialize into the program body, which blows
+    past remote-compile request limits at FlowNet2 size (observed
+    HTTP 413 on the relay backend)."""
+
+    def run_chunk(v, f1, f2):
+        r1 = resize_bilinear(f1, mh, mw)
+        r2 = resize_bilinear(f2, mh, mw)
+        if C == 1:
+            r1 = jnp.repeat(r1, 3, axis=-1)
+            r2 = jnp.repeat(r2, 3, axis=-1)
+        pair = jnp.stack([r1, r2], axis=1)  # (B, 2, mh, mw, 3)
+        flow = net.apply(v, pair)
+        return resize_bilinear(flow, H, W)
+
+    return run_chunk
+
+
 def compute_optical_flow(
     net,
     variables,
@@ -72,22 +95,7 @@ def compute_optical_flow(
     n, H, W, C = frames.shape
     first, second = flow_pair_indices(index)
     mh, mw = model_hw
-
-    # `v` is an explicit argument everywhere (not a closure capture):
-    # captured weight arrays serialize into the program body, which blows
-    # past remote-compile request limits at FlowNet2 size (observed
-    # HTTP 413 on the relay backend).
-    def run_chunk(v, f1, f2):
-        # (B, H, W, C) uint8 pairs -> (B, H, W, 2) flow at original size
-        r1 = resize_bilinear(f1, mh, mw)
-        r2 = resize_bilinear(f2, mh, mw)
-        if C == 1:
-            r1 = jnp.repeat(r1, 3, axis=-1)
-            r2 = jnp.repeat(r2, 3, axis=-1)
-        pair = jnp.stack([r1, r2], axis=1)  # (B, 2, mh, mw, 3)
-        flow = net.apply(v, pair)
-        # resize back without magnitude rescaling (calc_optical_flow.py:59,82)
-        return resize_bilinear(flow, H, W)
+    run_chunk = _make_run_chunk(net, C, H, W, mh, mw)
 
     frames_j = frames if isinstance(frames, jax.Array) else jnp.asarray(
         np.asarray(frames)
@@ -126,19 +134,101 @@ def compute_optical_flow(
     return out
 
 
-def save_flow_tree(
-    flow: np.ndarray, index: VideoIndex, of_root: str, dataset_rel: str
-) -> None:
-    """Persist per-frame flow .npy files mirroring the dataset tree
-    (calc_optical_flow.py:30-38), for interop with reference artifacts."""
+def compute_optical_flow_segmented(
+    net,
+    variables,
+    index: VideoIndex,
+    frames,
+    write,
+    segment_frames: int = 512,
+    chunk: int = 4,
+    model_hw: Tuple[int, int] = (384, 512),
+) -> int:
+    """Memory-bounded flow precomputation for beyond-HBM/RAM splits.
+
+    The reference streams one frame at a time and writes each .npy
+    immediately (calc_optical_flow.py:25-85), so ShanghaiTech (~270k
+    frames, ~890 GB of f32 flow) runs on any box. This is the TPU-shaped
+    equivalent: per segment of `segment_frames` frames,
+
+      * decode ONLY that segment (+1 neighbor frame each side for the
+        pair rule) from the lazy stack,
+      * one upload, ONE device call (lax.map over chunks) for the whole
+        segment's flow, one bulk download,
+      * `write(i, flow_i)` immediately per frame, then the segment's
+        frames and flow are released.
+
+    Peak host memory ~ segment's frames + flow; HBM likewise. Every
+    segment pads to the same static shape so the program compiles ONCE.
+    `frames` is any array-like supporting `[lo:hi]` (data.readers.
+    LazyFrameStack decodes on slice). Returns the number of frames written.
+    """
+    n = index.total_frames
+    H, W = frames.shape[1], frames.shape[2]
+    C = frames.shape[3] if len(frames.shape) == 4 else 1
+    first, second = flow_pair_indices(index)
+    mh, mw = model_hw
+    S = -(-segment_frames // chunk) * chunk
+    run_chunk = _make_run_chunk(net, C, H, W, mh, mw)
+
+    @jax.jit
+    def run_seg(v, fwin, i1, i2):
+        def one(args):
+            a, b = args
+            return run_chunk(
+                v, jnp.take(fwin, a, axis=0), jnp.take(fwin, b, axis=0)
+            )
+
+        return jax.lax.map(one, (i1, i2))
+
+    for lo in range(0, n, S):
+        hi = min(lo + S, n)
+        # pairs for frames [lo, hi) touch source frames [lo-1, hi]
+        # (first frame of a video pairs (t, t), last pairs (t-1, t))
+        w0, w1 = max(lo - 1, 0), min(hi + 1, n)
+        win = np.asarray(frames[w0:w1])
+        if win.ndim == 3:
+            win = win[..., None]
+        wpad = np.zeros((S + 2,) + win.shape[1:], win.dtype)
+        wpad[: win.shape[0]] = win
+        sel = np.concatenate(
+            [np.arange(lo, hi), np.full(S - (hi - lo), hi - 1)]
+        )
+        i1 = (first[sel] - w0).reshape(S // chunk, chunk).astype(np.int32)
+        i2 = (second[sel] - w0).reshape(S // chunk, chunk).astype(np.int32)
+        flow = np.asarray(
+            run_seg(variables, jnp.asarray(wpad), jnp.asarray(i1),
+                    jnp.asarray(i2))
+        ).reshape(S, H, W, 2)
+        for k in range(hi - lo):
+            write(lo + k, flow[k])
+    return n
+
+
+def flow_tree_writer(index: VideoIndex, of_root: str, dataset_rel: str):
+    """Per-frame writer of flow .npy files mirroring the dataset tree
+    (calc_optical_flow.py:30-38 layout, for interop with reference
+    artifacts). Returns write(i, flow_i)."""
     import os
 
     assert index.frame_paths is not None
     n_root = len(os.path.normpath(dataset_rel).split(os.sep))
-    for i, p in enumerate(index.frame_paths):
-        parts = os.path.normpath(p).split(os.sep)
+
+    def write(i: int, flow_i: np.ndarray) -> None:
+        parts = os.path.normpath(index.frame_paths[i]).split(os.sep)
         rel = parts[-3:] if n_root == 0 else parts[n_root:]
         stem = os.path.splitext(rel[-1])[0]
         d = os.path.join(of_root, *rel[:-1])
         os.makedirs(d, exist_ok=True)
-        np.save(os.path.join(d, stem + ".npy"), flow[i])
+        np.save(os.path.join(d, stem + ".npy"), flow_i)
+
+    return write
+
+
+def save_flow_tree(
+    flow: np.ndarray, index: VideoIndex, of_root: str, dataset_rel: str
+) -> None:
+    """Persist a fully-materialized flow stack via flow_tree_writer."""
+    write = flow_tree_writer(index, of_root, dataset_rel)
+    for i in range(flow.shape[0]):
+        write(i, flow[i])

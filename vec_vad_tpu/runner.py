@@ -318,14 +318,28 @@ def run_calc_flow(
     splits: Tuple[str, ...] = ("train", "test"),
     chunk: int = 4,
     resident: bool = False,
+    segment_frames: Optional[int] = None,
+    memory_budget_bytes: float = 4e9,
 ) -> None:
     """Precompute the optical-flow tree with FlowNet2
     (calc_optical_flow.py equivalent). resident=True computes each
-    split's flow in one device call (flow.driver.compute_optical_flow)."""
+    split's flow in one device call (flow.driver.compute_optical_flow).
+
+    Splits whose frames + flow exceed `memory_budget_bytes` (avenue ~19 GB,
+    ShanghaiTech ~1.2 TB) automatically stream through the segmented path:
+    lazy per-segment decode, one device call per segment, each frame's
+    .npy written immediately — bounded RSS and HBM at any scale, like the
+    reference's one-frame-at-a-time loop (calc_optical_flow.py:25-85).
+    `segment_frames` forces the segmented path with that segment size."""
     import jax
     import jax.numpy as jnp
 
-    from vec_vad_tpu.flow.driver import compute_optical_flow, save_flow_tree
+    from vec_vad_tpu.flow.driver import (
+        compute_optical_flow,
+        compute_optical_flow_segmented,
+        flow_tree_writer,
+        save_flow_tree,
+    )
     from vec_vad_tpu.models.flownet import FlowNet2, load_flownet2_checkpoint
 
     net = FlowNet2()
@@ -343,9 +357,27 @@ def run_calc_flow(
         index = VideoIndex.from_layout(
             cfg.dataset_name, root, split, cfg.dataset.file_ext
         )
-        frames = np.asarray(LazyFrameStack(index))
-        flow = compute_optical_flow(
-            net, variables, index, frames, chunk=chunk, resident=resident
-        )
-        save_flow_tree(flow, index, of_root, root)
-        print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
+        lazy = LazyFrameStack(index)
+        n = index.total_frames
+        # frames (uint8) + flow (2 x f32) for the whole split
+        footprint = float(np.prod(lazy.shape)) * (1.0 + 8.0 / lazy.shape[-1])
+        if segment_frames or footprint > memory_budget_bytes:
+            seg = segment_frames or max(
+                chunk, int(memory_budget_bytes // (footprint / n)) // 2
+            )
+            write = flow_tree_writer(index, of_root, root)
+            compute_optical_flow_segmented(
+                net, variables, index, lazy, write,
+                segment_frames=seg, chunk=chunk,
+            )
+            print(
+                f"{split}: wrote {n} flow maps to {of_root} "
+                f"(segmented, {seg} frames/segment)"
+            )
+        else:
+            frames = np.asarray(lazy)
+            flow = compute_optical_flow(
+                net, variables, index, frames, chunk=chunk, resident=resident
+            )
+            save_flow_tree(flow, index, of_root, root)
+            print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
