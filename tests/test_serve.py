@@ -146,6 +146,81 @@ def test_streaming_edge_cases():
         )
 
 
+def test_streaming_pipelined_matches_sync():
+    """pipeline_depth=d shifts WHEN scores emerge, never WHAT they are:
+    push returns frame t-d's score (None while filling), drain() flushes
+    the tail — the sequence equals the depth-0 scores exactly."""
+    ds, cfg, model = _train_tiny(use_flow=False, seed=15)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    sync = _stream_scores(ds, cfg, model, te_idx)
+
+    scorer = StreamingScorer.from_model(model, pipeline_depth=2)
+    out = []
+    i = 0
+    for ln in te_idx.video_lengths:
+        scorer.start_video()
+        for _ in range(int(ln)):
+            s = scorer.push(ds.test_frames[i], ds.test_boxes[i])
+            if s is not None:
+                out.append(s)
+            i += 1
+    out.extend(scorer.drain())
+    np.testing.assert_allclose(np.asarray(out, np.float32), sync, rtol=1e-6)
+
+
+def test_streaming_push_many_matches_push():
+    """Micro-batched push_many (k frames per device call) must produce
+    the exact per-frame push() scores, across video boundaries handled by
+    start_video between batches."""
+    ds, cfg, model = _train_tiny(use_flow=True, seed=17)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    te_flow = _pseudo_flow(ds.test_frames)
+    sync = _stream_scores(ds, cfg, model, te_idx, te_flow)
+
+    scorer = StreamingScorer.from_model(model)
+    out, i = [], 0
+    for ln in te_idx.video_lengths:
+        scorer.start_video()
+        lo = i
+        while i < lo + int(ln):
+            k = min(4, lo + int(ln) - i)
+            out.extend(
+                scorer.push_many(
+                    ds.test_frames[i : i + k],
+                    [ds.test_boxes[j] for j in range(i, i + k)],
+                    flows=te_flow[i : i + k],
+                )
+            )
+            i += k
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), sync, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_streaming_gray_matches_rgb():
+    """gray_stream uploads one channel; scores are bit-identical when the
+    source is channel-replicated (cv2's gray->BGR read of .tif frames)."""
+    ds, cfg, model = _train_tiny(use_flow=False, seed=16)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    gray = ds.test_frames[..., :1]
+    frames3 = np.repeat(gray, 3, axis=-1)
+
+    def run(scorer, frames):
+        out, i = [], 0
+        for ln in te_idx.video_lengths:
+            scorer.start_video()
+            for _ in range(int(ln)):
+                out.append(scorer.push(frames[i], ds.test_boxes[i]))
+                i += 1
+        return np.asarray(out, np.float32)
+
+    rgb_scores = run(StreamingScorer.from_model(model), frames3)
+    gray_scores = run(
+        StreamingScorer.from_model(model, gray_stream=True), gray[..., 0]
+    )
+    np.testing.assert_array_equal(gray_scores, rgb_scores)
+
+
 def test_streaming_grid_matches_offline():
     """Multi-block (2x2 grid) streaming: per-box host routing to the
     stacked block models must reproduce the offline CubeSet path,

@@ -32,14 +32,21 @@ would produce.
 Scores match the offline paths exactly (tests/test_serve.py): same uint8
 cube quantization, same ensemble forward, same z-norm/fusion, same motion
 + degenerate-box filters, same -big_number for empty frames
-(test.py:296-357 semantics). Hardware: 36.8 ms median per frame (27 fps)
-through the remote relay at UCSDped2 geometry — above 25 fps real-time.
+(test.py:296-357 semantics).
+
+Hardware (UCSDped2 geometry through the remote relay, 200-frame medians,
+BENCH_r03): synchronous push 34.4 ms median / 39.1 ms p90 per frame;
+pipeline_depth=2 sustains 29.8 fps; push_many (8 frames per device call)
+sustains 131 fps. The per-call relay round trip (~25 ms) dominates the
+single-frame modes — on locally-attached TPU hardware the same step is
+sub-millisecond of device work.
 """
 
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +99,30 @@ class StreamingScorer:
         compute_dtype=jnp.float32,
         big_number: float = BIG_NUMBER,
         blocks: Optional[Dict[tuple, tuple]] = None,
+        pipeline_depth: int = 0,
+        gray_stream: bool = False,
     ):
         """Single-block form: (variables, stats) serve every box (a 1x1
         grid at block key (0, 0, 0)). Grid form: pass `blocks` mapping
         (scene-1, h, w) -> (variables, (mu_r, sd_r, mu_o, sd_o)) and leave
-        variables/stats as None."""
+        variables/stats as None.
+
+        pipeline_depth: with depth d >= 1, `push(frame_t)` enqueues the
+        device step for frame t and returns the score of frame t-d (None
+        while the pipeline fills; `drain()` at stream end). The device
+        steps chain through the donated ring, so while the host blocks on
+        frame t-d's tiny result download, frames t-d+1..t are already in
+        flight — the relay round trip amortizes across d frames. Scores
+        are IDENTICAL to depth 0; only the emission time shifts. Real-time
+        25 fps streams should serve with d=2 (adds 2 frame times = 80 ms
+        of latency, buys ~2x sustained throughput over a high-RTT link).
+
+        gray_stream: the stream's frames are single-channel (H, W) or
+        (H, W, 1) uint8; the device replicates to 3 channels before the
+        ring write — bit-identical to cv2.imread's gray->BGR replication
+        (how the reference reads UCSDped2's .tif frames) at a third of
+        the per-push upload.
+        """
         mc = cfg.model
         if mc.border_mode != "predict":
             raise ValueError(
@@ -138,6 +164,9 @@ class StreamingScorer:
         self._n_pushed = 0  # global frames pushed (ring write counter)
         self._v0 = 0  # value of _n_pushed when the current video started
         self._scene = 1
+        self.pipeline_depth = int(pipeline_depth)
+        self.gray_stream = bool(gray_stream)
+        self._pending: deque = deque()  # in-flight (out, boxes, nb, scene)
         self._step = self._build_step()
 
     # -- constructors ---------------------------------------------------
@@ -167,10 +196,21 @@ class StreamingScorer:
         use_flow = self.use_flow
         w_raw, w_of = self.cfg.model.w_raw, self.cfg.model.w_of
         cdt = self._compute_dtype
+        R, R_of = self.R, self.R_of
+        gray = self.gray_stream
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(ring, flow_ring, frame, flow_map, slot, of_slot, win, owin,
-                 boxes, variables, stats):
+        def one(ring, flow_ring, frame, flow_map, ctrl,
+                boxes, variables, stats):
+            # ctrl packs every small int argument into ONE host array
+            # (slot, of_slot, win[R], owin[R_of]) — one transfer, not four
+            slot, of_slot = ctrl[0], ctrl[1]
+            win, owin = ctrl[2 : 2 + R], ctrl[2 + R : 2 + R + R_of]
+            if gray:
+                # cv2.imread replicates gray sources across BGR exactly
+                frame = jnp.broadcast_to(
+                    frame.reshape(frame.shape[0], frame.shape[1], 1),
+                    (frame.shape[0], frame.shape[1], 3),
+                )
             ring = jax.lax.dynamic_update_slice(
                 ring, frame[None], (slot, 0, 0, 0)
             )
@@ -211,6 +251,26 @@ class StreamingScorer:
             # (scores and mag separately would each pay a tunnel round trip)
             return ring, flow_ring, jnp.concatenate([scores.reshape(-1), mag])
 
+        step = partial(jax.jit, donate_argnums=(0, 1))(one)
+
+        # micro-batched variant: ONE device call scores k frames (a scan
+        # threading the rings), amortizing the per-call relay round trip
+        # k-fold — the high-throughput serving mode for high-RTT links
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_many(ring, flow_ring, frames, flow_maps, ctrls,
+                      boxes, variables, stats):
+            def body(carry, xs):
+                r, fr = carry
+                f, fm, c, b = xs
+                r, fr, out = one(r, fr, f, fm, c, b, variables, stats)
+                return (r, fr), out
+
+            (ring, flow_ring), outs = jax.lax.scan(
+                body, (ring, flow_ring), (frames, flow_maps, ctrls, boxes)
+            )
+            return ring, flow_ring, outs
+
+        self._step_many = step_many
         return step
 
     # -- streaming API --------------------------------------------------
@@ -229,16 +289,24 @@ class StreamingScorer:
         frame: np.ndarray,
         boxes: np.ndarray,
         flow: Optional[np.ndarray] = None,
-    ) -> float:
-        """Score one frame. `frame` is (H, W, 3) uint8, `boxes` an (n, 4)
-        float xyxy array (n <= max_boxes), `flow` the frame's (H, W, 2)
-        flow map (required when the model fuses the flow stream — the
-        caller chooses the pairing rule, e.g. the reference's
-        flow(t -> t+1) with a one-frame emission delay, or a causal
-        flow(t-1 -> t))."""
+    ) -> Optional[float]:
+        """Score one frame. `frame` is (H, W, 3) uint8 ((H, W) when
+        gray_stream), `boxes` an (n, 4) float xyxy array (n <= max_boxes),
+        `flow` the frame's (H, W, 2) flow map (required when the model
+        fuses the flow stream — the caller chooses the pairing rule, e.g.
+        the reference's flow(t -> t+1) with a one-frame emission delay, or
+        a causal flow(t-1 -> t)).
+
+        Returns the frame's score; with pipeline_depth=d, returns the score
+        of the frame pushed d calls ago (None while the pipeline fills)."""
         if self.use_flow and flow is None:
             raise ValueError("model fuses the flow stream; pass flow=")
         frame = np.asarray(frame, np.uint8)
+        if self.gray_stream:
+            if frame.ndim == 3:
+                frame = frame[..., 0]
+        elif frame.ndim != 3:
+            raise ValueError("3-channel frame expected (or gray_stream=True)")
         if self._ring is None:
             h, w = frame.shape[:2]
             self._ring = jnp.zeros((self.R, h, w, 3), jnp.uint8)
@@ -267,6 +335,9 @@ class StreamingScorer:
             if self._zero_flow is None:
                 self._zero_flow = jnp.zeros((1, 1, 2), jnp.float32)
             flow_in = self._zero_flow
+        ctrl = np.concatenate(
+            [[slot, of_slot], win, owin]
+        ).astype(np.int32)
 
         # host arrays go straight to the jitted call (one dispatch moves
         # them all) instead of paying a jnp.asarray round trip each
@@ -275,15 +346,89 @@ class StreamingScorer:
             self._flow_ring,
             frame,
             flow_in,
-            slot,
-            of_slot,
-            win.astype(np.int32),
-            owin.astype(np.int32),
+            ctrl,
             boxes_pad,
             self._vars,
             self._stats,
         )
         self._n_pushed += 1
+        self._pending.append((out, boxes_pad, nb, self._scene))
+        if len(self._pending) <= self.pipeline_depth:
+            return None  # pipeline still filling
+        return self._finish(*self._pending.popleft())
+
+    def push_many(
+        self,
+        frames: np.ndarray,
+        boxes_list,
+        flows: Optional[np.ndarray] = None,
+    ) -> List[float]:
+        """Score k consecutive frames of the CURRENT video in ONE device
+        call (a compiled scan threading the ring), returning their k
+        scores. Amortizes the per-call link round trip k-fold — on a
+        high-RTT link this is the robust way to stay real-time (k=4 adds
+        160 ms of buffering at 25 fps). Scores are identical to k push()
+        calls; the program compiles once per distinct k. All k frames
+        must belong to the current video (call start_video between
+        batches at video boundaries). Pipelined push() results still in
+        flight are unaffected (drain() them separately)."""
+        frames = np.asarray(frames, np.uint8)
+        k = frames.shape[0]
+        if self.use_flow and flows is None:
+            raise ValueError("model fuses the flow stream; pass flows=")
+        if self.gray_stream and frames.ndim == 4:
+            frames = frames[..., 0]
+        if self._ring is None:
+            h, w = frames.shape[1:3]
+            self._ring = jnp.zeros((self.R, h, w, 3), jnp.uint8)
+            if self.use_flow:
+                self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
+            else:
+                self._flow_ring = jnp.zeros((1, 1, 1, 2), jnp.float32)
+
+        ctrls = np.zeros((k, 2 + self.R + self.R_of), np.int32)
+        boxes_pad = np.zeros((k, self.K, 4), np.float32)
+        nbs = []
+        for j in range(k):
+            t = self._n_pushed + j
+            pos = t - self._v0
+            b = np.asarray(boxes_list[j], np.float32).reshape(-1, 4)
+            if b.shape[0] > self.K:
+                raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
+            boxes_pad[j, : b.shape[0]] = b
+            nbs.append(b.shape[0])
+            ctrls[j, 0] = t % self.R
+            ctrls[j, 2 : 2 + self.R] = (
+                self._v0 + _predict_window(pos, self.ctx)
+            ) % self.R
+            if self.use_flow:
+                ctrls[j, 1] = t % self.R_of
+                ctrls[j, 2 + self.R :] = (
+                    self._v0 + _predict_window(pos, self.ctx_of)
+                ) % self.R_of
+        if self.use_flow:
+            flow_in = np.asarray(flows, np.float32)
+        else:
+            flow_in = np.zeros((k, 1, 1, 2), np.float32)
+
+        self._ring, self._flow_ring, outs = self._step_many(
+            self._ring, self._flow_ring, frames, flow_in, ctrls,
+            boxes_pad, self._vars, self._stats,
+        )
+        self._n_pushed += k
+        outs = np.asarray(outs)  # one download for all k frames
+        return [
+            self._finish(outs[j], boxes_pad[j], nbs[j], self._scene)
+            for j in range(k)
+        ]
+
+    def drain(self) -> List[float]:
+        """Materialize and return the scores still in flight (stream end)."""
+        out = [self._finish(*e) for e in self._pending]
+        self._pending.clear()
+        return out
+
+    def _finish(self, out, boxes_pad, nb, scene) -> float:
         out = np.asarray(out)  # the single forced download
         smat = out[: self.B * self.K].reshape(self.B, self.K)
         mag = out[self.B * self.K :]
@@ -305,7 +450,7 @@ class StreamingScorer:
             for (hc, wc) in calc_block_idx(
                 b[0], b[2], b[1], b[3], h_step, w_step, fc.test_block_mode
             ):
-                i = self._kidx.get((self._scene - 1, hc, wc))
+                i = self._kidx.get((scene - 1, hc, wc))
                 cand = self.big_number if i is None else float(smat[i, k])
                 best = cand if best is None else max(best, cand)
         return -self.big_number if best is None else best
