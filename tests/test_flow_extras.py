@@ -97,3 +97,120 @@ def test_flow_datasets(tmp_path, rng):
                   rng.normal(size=(16, 24, 2)).astype(np.float32))
     sds = MpiSintel(str(si), "clean")
     assert len(sds) == 2  # consecutive pairs with flow for the first frame
+
+
+def _sintel_tree(tmp_path, rng, h=109, w=256, n=4):
+    """Sintel-layout tree at a non-/64 geometry (like the real 436x1024)."""
+    import cv2
+
+    from vec_vad_tpu.utils.flowviz import write_flo
+
+    si = tmp_path / "sintel"
+    (si / "clean" / "alley_1").mkdir(parents=True)
+    (si / "flow" / "alley_1").mkdir(parents=True)
+    for i in range(1, n + 1):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(si / "clean" / "alley_1" / f"frame_{i:04d}.png"), img)
+        write_flo(
+            str(si / "flow" / "alley_1" / f"frame_{i:04d}.flo"),
+            rng.normal(size=(h, w, 2)).astype(np.float32),
+        )
+    return si
+
+
+def test_flow_dataset_crops(tmp_path, rng):
+    """Crop protocol of FlowNet2_src/datasets.py:10-32,78-107: center crop
+    floors to /64 by default; random crop shares one offset per sample
+    across both images and the flow."""
+    pytest.importorskip("cv2")
+    from vec_vad_tpu.flow.datasets import MpiSintel
+
+    si = _sintel_tree(tmp_path, rng)  # 109x256 (not /64-aligned)
+
+    # default: StaticCenterCrop to (109//64*64, 256//64*64) = (64, 256)
+    ds = MpiSintel(str(si), "clean")
+    assert ds.render_size == (64, 256) and ds.sample_size == (64, 256)
+    pair, flow = ds[0]
+    assert pair.shape == (2, 64, 256, 3) and flow.shape == (64, 256, 2)
+    # center-crop content check against manual slicing
+    im0 = ds.triples[0][0]
+    import cv2
+
+    full = cv2.imread(im0)
+    y, x = (109 - 64) // 2, 0
+    np.testing.assert_array_equal(pair[0], full[y : y + 64, x : x + 256])
+
+    # random crop: offsets shared across the sample's three arrays
+    ds = MpiSintel(str(si), "clean", crop_size=(64, 128), aug_seed=3)
+    from vec_vad_tpu.utils.flowviz import read_flo
+
+    p0, p1, pf = ds.triples[0]
+    f0, f1 = cv2.imread(p0), cv2.imread(p1)
+    fl = read_flo(pf)
+    pair, flow = ds[0]
+    assert pair.shape == (2, 64, 128, 3) and flow.shape == (64, 128, 2)
+    # locate the crop in the source; images and flow must agree on it
+    found = False
+    for y in range(109 - 64 + 1):
+        for x in range(256 - 128 + 1):
+            if np.array_equal(pair[0], f0[y : y + 64, x : x + 128]):
+                np.testing.assert_array_equal(
+                    pair[1], f1[y : y + 64, x : x + 128]
+                )
+                np.testing.assert_array_equal(
+                    flow, fl[y : y + 64, x : x + 128]
+                )
+                found = True
+    assert found
+
+    # batches thread the crops (this is what broke Sintel training before:
+    # raw 436x1024 frames fed straight to the /64-aligned decoders)
+    xb, fb = next(ds.batches(batch_size=3, seed=0))
+    assert xb.shape == (3, 64, 128, 6) and fb.shape == (3, 64, 128, 2)
+
+    with pytest.raises(ValueError):
+        MpiSintel(str(si), "clean", crop_size=(128, 512))  # exceeds frame
+
+
+def test_flow_dataset_validation(tmp_path, rng):
+    """Broken trees fail loudly at construction/validate, not mid-epoch."""
+    pytest.importorskip("cv2")
+    from vec_vad_tpu.flow.datasets import MpiSintel
+    from vec_vad_tpu.utils.flowviz import write_flo
+
+    si = _sintel_tree(tmp_path, rng, h=64, w=64, n=4)
+    ds = MpiSintel(str(si), "clean")
+    ds.validate()  # healthy tree passes
+
+    # corrupt a middle flow file with a mismatched shape
+    bad = si / "flow" / "alley_1" / "frame_0002.flo"
+    write_flo(str(bad), rng.normal(size=(32, 32, 2)).astype(np.float32))
+    with pytest.raises(ValueError, match="broken sample"):
+        ds.validate()
+    with pytest.raises(ValueError, match="flow shape"):
+        _ = [ds[i] for i in range(len(ds))]
+
+    # first sample broken -> constructor itself raises
+    first = si / "flow" / "alley_1" / "frame_0001.flo"
+    write_flo(str(first), rng.normal(size=(32, 32, 2)).astype(np.float32))
+    with pytest.raises(ValueError, match="flow shape"):
+        MpiSintel(str(si), "clean")
+
+
+def test_flow_trainer_on_sintel_geometry(tmp_path, rng):
+    """A train step on non-/64 Sintel-shaped data now works end-to-end
+    through the crop path (VERDICT r2: the Sintel loader existed but fed
+    436x1024 straight to the /64-aligned decoder skip-concats)."""
+    pytest.importorskip("cv2")
+    from test_flow_harness import TinyPyramidNet
+
+    from vec_vad_tpu.flow.datasets import MpiSintel
+    from vec_vad_tpu.flow.trainer import FlowTrainer
+
+    si = _sintel_tree(tmp_path, rng, h=109, w=256, n=5)
+    ds = MpiSintel(str(si), "clean", crop_size=(64, 128), aug_seed=1)
+    trainer = FlowTrainer(TinyPyramidNet(), learning_rate=1e-4)
+    pairs, target = next(ds.batches(batch_size=4, seed=0))
+    state = trainer.init_state(pairs)
+    state, metrics = trainer.step(state, pairs, target)
+    assert np.isfinite(float(metrics["loss"]))
