@@ -25,37 +25,47 @@ import numpy as np
 
 
 def pallas_correlation_check() -> dict:
-    """Run the Pallas correlation forward+backward ON HARDWARE and verify
-    against the jnp formulation — pins 'works on the real chip' as a
-    driver-recorded artifact rather than a docstring claim."""
+    """Pallas-vs-einsum correlation fwd+bwd ON HARDWARE at FlowNetC scale
+    (batch 4, 256ch, 48x64 — the conv3 cost-volume input for 512x384
+    frames): verifies the Pallas kernel against the jnp formulation and
+    pins BOTH timings so the production default (ops.py: analytic jnp,
+    use_pallas_correlation=False) is a driver-recorded, data-backed
+    choice rather than a docstring claim."""
     import jax
     import jax.numpy as jnp
 
     from vec_vad_tpu.models.flownet.ops import correlation
 
     rng = np.random.default_rng(1)
-    a = jnp.asarray(rng.normal(size=(1, 24, 64, 64)).astype(np.float32))
-    b = jnp.asarray(rng.normal(size=(1, 24, 64, 64)).astype(np.float32))
-    g = jnp.asarray(rng.normal(size=(1, 24, 64, 441)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(4, 48, 64, 256)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4, 48, 64, 256)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(4, 48, 64, 441)).astype(np.float32))
 
     def loss(x, y, pal):
         return jnp.sum(correlation(x, y, 20, 2, pal, False) * g)
 
     f = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)
+
+    def timed(pal):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ga, gb = f(a, b, pal)
+            np.asarray(ga), np.asarray(gb)
+            best = min(best, (time.perf_counter() - t0) * 1000.0)
+        return best
+
     try:
         ga_p, gb_p = f(a, b, True)
         np.asarray(ga_p)  # force compile+run before timing
         ga_r, gb_r = f(a, b, False)
         ok = bool(
-            np.allclose(np.asarray(ga_p), np.asarray(ga_r), atol=1e-4)
-            and np.allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-4)
+            np.allclose(np.asarray(ga_p), np.asarray(ga_r), atol=1e-3)
+            and np.allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-3)
         )
-        t0 = time.perf_counter()
-        ga_p, gb_p = f(a, b, True)
-        np.asarray(ga_p), np.asarray(gb_p)
-        ms = (time.perf_counter() - t0) * 1000.0
         return {"pallas_correlation_ok": ok,
-                "pallas_correlation_ms": round(ms, 1)}
+                "pallas_correlation_ms": round(timed(True), 1),
+                "jnp_correlation_ms": round(timed(False), 1)}
     except Exception:
         return {"pallas_correlation_ok": False, "pallas_correlation_ms": -1.0}
 
@@ -90,7 +100,10 @@ def main() -> None:
     index = VideoIndex([f"v{i}" for i in range(12)], np.array(lengths))
 
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    # UCSDped2 frames are grayscale .tif; cv2.imread replicates the single
+    # channel across BGR — synthesize the same structure
+    gray = rng.integers(0, 256, (n, h, w, 1), dtype=np.uint8)
+    frames = np.repeat(gray, 3, axis=-1)
     boxes_pad, valid = pad_boxes(boxes_list, cfg.fore.max_boxes_per_frame)
     windows = index.context_indices(
         cfg.model.context_frame_num, cfg.model.border_mode
@@ -134,23 +147,72 @@ def main() -> None:
     }
     record.update(pallas_correlation_check())
 
-    # Online serving latency: StreamingScorer's one-device-call-per-frame
-    # step on the same model/geometry (25 fps real-time needs <40 ms).
+    # Online serving: StreamingScorer's one-device-call-per-frame step on
+    # the same model/geometry (25 fps real-time needs <40 ms sustained).
+    # Production config: gray_stream (1-channel upload, bit-identical for
+    # UCSDped2's grayscale sources) + pipeline_depth=2 for throughput.
+    # Measured over 200+ frames with spread — the tunnel's bandwidth
+    # varies 5-40 MB/s run-to-run, so short samples lie.
     from vec_vad_tpu.serve import StreamingScorer
 
-    scorer = StreamingScorer(
-        cfg, variables, stats, net=net, max_boxes=cfg.fore.max_boxes_per_frame
-    )
+    n_meas, skip = 220, 20
+    kw = dict(net=net, max_boxes=cfg.fore.max_boxes_per_frame,
+              gray_stream=True)
+
+    # (a) synchronous per-push latency (score returned for the frame
+    # just pushed): median + p90
+    scorer = StreamingScorer(cfg, variables, stats, **kw)
     scorer.start_video()
     lat = []
-    for i in range(48):
+    for i in range(n_meas):
         t0 = time.perf_counter()
-        s = scorer.push(frames[i], boxes_list[i])
+        s = scorer.push(gray[i % n, ..., 0], boxes_list[i % n])
         lat.append(time.perf_counter() - t0)
         assert np.isfinite(s)
-    med = float(np.median(lat[4:]) * 1000.0)
-    record["streaming_ms_per_frame"] = round(med, 1)
-    record["streaming_fps"] = round(1000.0 / med, 1)
+    lat = np.array(lat[skip:]) * 1000.0
+    record["streaming_ms_per_frame"] = round(float(np.median(lat)), 1)
+    record["streaming_p90_ms"] = round(float(np.percentile(lat, 90)), 1)
+    record["streaming_sync_fps"] = round(1000.0 / float(np.median(lat)), 1)
+
+    # (b) sustained throughput with a 2-frame pipeline (scores emerge 2
+    # frames late; the device steps chain through the donated ring, so the
+    # result download of frame t-2 overlaps frames t-1, t in flight)
+    scorer = StreamingScorer(cfg, variables, stats, pipeline_depth=2, **kw)
+    scorer.start_video()
+    got = 0
+    for i in range(skip):  # warmup (compile + fill)
+        if scorer.push(gray[i % n, ..., 0], boxes_list[i % n]) is not None:
+            got += 1
+    t0 = time.perf_counter()
+    for i in range(skip, skip + n_meas):
+        if scorer.push(gray[i % n, ..., 0], boxes_list[i % n]) is not None:
+            got += 1
+    dt = time.perf_counter() - t0
+    tail = scorer.drain()
+    assert got + len(tail) == skip + n_meas
+    record["streaming_fps"] = round(n_meas / dt, 1)
+
+    # (c) micro-batched serving (push_many, k=8): one device call per 8
+    # frames — the robust real-time mode on high-RTT links (adds 8 frame
+    # times of buffering latency)
+    kb = 8
+    scorer = StreamingScorer(cfg, variables, stats, **kw)
+    scorer.start_video()
+
+    def batch(i0):
+        return scorer.push_many(
+            gray[i0 : i0 + kb, ..., 0],
+            [boxes_list[j] for j in range(i0, i0 + kb)],
+        )
+
+    batch(0)  # warmup compile
+    nb = n_meas // kb
+    t0 = time.perf_counter()
+    for bi in range(nb):
+        s = batch(kb + bi * kb)
+        assert len(s) == kb
+    dt = time.perf_counter() - t0
+    record["streaming_batch8_fps"] = round(nb * kb / dt, 1)
     print(json.dumps(record))
 
 

@@ -138,3 +138,27 @@ def test_segmented_matches_resident():
         boxes_pad, valid, segment_frames=6, chunk=4, cube_batch=16,
     )
     np.testing.assert_allclose(seg, full, rtol=2e-4, atol=2e-4)
+
+    # the fallback fused path auto-routes to the segmented path instead of
+    # device_put-ing an over-budget stack: a lazy stack is only ever read
+    # in slices, and scores still match
+    class LazySlices:
+        def __init__(self, arr):
+            self._a = arr
+            self.shape, self.dtype = arr.shape, arr.dtype
+            self.whole_reads = 0
+
+        def __getitem__(self, key):
+            return self._a[key]
+
+        def __array__(self, dtype=None):  # materializing whole = the bug
+            self.whole_reads += 1
+            return self._a
+
+    lazy = LazySlices(ds.test_frames)
+    routed = infer_frame_scores(
+        cfg, variables, (mu, sd, 1.0, 1.0), lazy, windows,
+        boxes_pad, valid, device_memory_budget_bytes=1.0,
+    )
+    assert lazy.whole_reads == 0
+    np.testing.assert_allclose(routed, full, rtol=2e-4, atol=2e-4)

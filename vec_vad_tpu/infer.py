@@ -420,13 +420,29 @@ def infer_frame_scores(
     chunk: int = 16,
     net: Optional[SelfCompletionNet] = None,
     compute_dtype=jnp.float32,
+    device_memory_budget_bytes: float = 4e9,
 ) -> np.ndarray:
     """Score every frame of a split with the fused path.
 
     windows/of_windows come from VideoIndex.context_indices; boxes_pad/valid
     from ops.stc.pad_boxes.
+
+    Splits whose frames (+ flow) exceed `device_memory_budget_bytes` are
+    automatically routed to infer_frame_scores_segmented (score-equal by
+    construction) instead of device_put-ing the world: this path uploads
+    the whole stack to HBM, which silently re-imposed the scale ceiling
+    the segmented path was built to remove (avenue ~10 GB, SHT ~40 GB).
     """
     mc = cfg.model
+    footprint = float(np.prod(frames.shape)) * np.dtype(frames.dtype).itemsize
+    if flow is not None:
+        footprint += float(np.prod(flow.shape)) * 4.0
+    if footprint > device_memory_budget_bytes:
+        return infer_frame_scores_segmented(
+            cfg, variables, stats, frames, windows, boxes_pad, valid,
+            flow=flow, of_windows=of_windows, net=net,
+            compute_dtype=compute_dtype,
+        )
     net = net or make_completion_net(mc)
     fn = make_score_chunk_fn(
         net, cfg.fore.patch_size, mc.w_raw, mc.w_of,

@@ -2,9 +2,16 @@
 the up-sampling helpers FlowNet2 relies on.
 
   * correlation — cost volume (ops/correlation/correlation_cuda_kernel.cu):
-    441-channel dot-product over a 21x21 displacement grid. Pure-jnp
-    reference implementation + a Pallas kernel that reads both feature maps
-    into VMEM once instead of 441 shifted HBM reads.
+    441-channel dot-product over a 21x21 displacement grid. The PRODUCT
+    path is the analytic-jnp formulation (correlation_ref + its
+    hand-written backward): XLA fuses the shifted dot-products into MXU
+    contractions that reuse each feature row across displacements, and on
+    hardware it beats the Pallas kernel at FlowNetC scale (BENCH_r03 pins
+    both timings). The Pallas fwd+bwd kernels are kept as the verified
+    hardware-native reference (use_pallas=True) — they demonstrate the
+    VMEM-resident design the CUDA kernel uses, but their stripe reads
+    lack the einsum's cross-displacement reuse (see CLAUDE.md, STC-kernel
+    retirement analysis: same structural conclusion).
   * warp_bilinear — Resample2d (ops/resample2d/Resample2d_kernel.cu:20-66):
     backward warp with corner-clamped bilinear sampling; pure jnp, XLA
     autodiff supplies the VJP the reference hand-writes in CUDA.

@@ -629,7 +629,22 @@ def pixel_score_masks(
     test_cubes: CubeSet,
     n_frames: int,
     frame_hw: Tuple[int, int],
+    device_threshold_cubes: int = 8192,
 ) -> np.ndarray:
+    """Per-frame pixel score masks (test.py:350-358 splat semantics).
+
+    The host loop costs O(cubes * patch_area) in Python; past
+    `device_threshold_cubes` cubes the vectorized device splat
+    (splat_score_masks_device, same output — parity-tested) wins, so
+    large pixel-criterion evaluations route there automatically.
+    """
+    if cube_scores.shape[0] > device_threshold_cubes:
+        from vec_vad_tpu.score.scoring import splat_score_masks_device
+
+        return splat_score_masks_device(
+            cube_scores, test_cubes.boxes, test_cubes.frame_ids, n_frames,
+            frame_hw,
+        )
     return splat_score_masks(
         cube_scores, test_cubes.boxes, test_cubes.frame_ids, n_frames, frame_hw
     )
