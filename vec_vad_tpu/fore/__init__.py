@@ -12,3 +12,8 @@ from vec_vad_tpu.fore.cascade_detector import (  # noqa: F401
     CascadeFPNNet,
     train_cascade_detector,
 )
+from vec_vad_tpu.fore.mmdet_import import (  # noqa: F401
+    BackboneFPN,
+    convert_backbone_fpn,
+    load_backbone_fpn,
+)
