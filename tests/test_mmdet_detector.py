@@ -1,0 +1,280 @@
+"""mmdet v1 cascade detection-path numerics, against independent oracles.
+
+mmdet itself is not installable here, so each legacy convention is pinned
+against an independently-written loop oracle transcribed from the v1
+source semantics (documented in fore/mmdet_detector.py's docstring), and
+the heads are pinned against torch modules with mmdet parameter naming —
+the same oracle strategy the CUDA ops used (test_flow_extras.py).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from torch import nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from vec_vad_tpu.fore.mmdet_detector import (
+    ANCHOR_STRIDES,
+    MMDetCascadeDetector,
+    RPNHead,
+    SharedFCBBoxHead,
+    base_anchors,
+    convert_cascade_heads,
+    delta2bbox,
+    grid_anchors,
+    nms_pick,
+    preprocess,
+    roi_align_v1,
+    roi_levels,
+)
+
+
+def test_base_anchors_structure():
+    for stride in ANCHOR_STRIDES:
+        a = base_anchors(stride)
+        assert a.shape == (3, 4)
+        # centred at (stride-1)/2 up to rounding
+        cx = (a[:, 0] + a[:, 2]) / 2
+        np.testing.assert_allclose(cx, (stride - 1) / 2, atol=0.5)
+        # +1 areas scale like stride^2 * 8^2 and match across ratios
+        areas = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+        np.testing.assert_allclose(areas / (stride * 8.0) ** 2, 1.0, rtol=0.1)
+        # ratio ordering: 0.5 (wide), 1.0, 2.0 (tall)
+        w = a[:, 2] - a[:, 0]
+        h = a[:, 3] - a[:, 1]
+        assert w[0] > w[1] > w[2] and h[0] < h[1] < h[2]
+        assert np.all(a == np.round(a))
+
+
+def test_grid_anchors_tiling():
+    g = grid_anchors(8, 2, 3)
+    assert g.shape == (2 * 3 * 3, 4)
+    base = base_anchors(8)
+    # shift-major, anchor-minor; x shifts fastest within a row
+    np.testing.assert_array_equal(g[:3], base)
+    np.testing.assert_array_equal(g[3:6], base + np.array([8, 0, 8, 0]))
+    np.testing.assert_array_equal(g[9:12], base + np.array([0, 8, 0, 8]))
+
+
+def _delta2bbox_oracle(rois, deltas, stds, max_hw):
+    out = np.zeros_like(rois)
+    max_ratio = abs(np.log(16.0 / 1000.0))
+    for i in range(rois.shape[0]):
+        dx, dy, dw, dh = deltas[i] * np.asarray(stds)
+        dw = np.clip(dw, -max_ratio, max_ratio)
+        dh = np.clip(dh, -max_ratio, max_ratio)
+        px = (rois[i, 0] + rois[i, 2]) * 0.5
+        py = (rois[i, 1] + rois[i, 3]) * 0.5
+        pw = rois[i, 2] - rois[i, 0] + 1.0
+        ph = rois[i, 3] - rois[i, 1] + 1.0
+        gw, gh = pw * np.exp(dw), ph * np.exp(dh)
+        gx, gy = px + pw * dx, py + ph * dy
+        out[i] = [np.clip(gx - 0.5 * (gw - 1), 0, max_hw[1] - 1),
+                  np.clip(gy - 0.5 * (gh - 1), 0, max_hw[0] - 1),
+                  np.clip(gx + 0.5 * (gw - 1), 0, max_hw[1] - 1),
+                  np.clip(gy + 0.5 * (gh - 1), 0, max_hw[0] - 1)]
+    return out
+
+
+def test_delta2bbox_legacy():
+    rng = np.random.default_rng(0)
+    rois = rng.uniform(0, 60, (40, 4)).astype(np.float32)
+    rois[:, 2:] += rois[:, :2]
+    deltas = rng.normal(0, 2, (40, 4)).astype(np.float32)
+    for stds in [(1, 1, 1, 1), (0.1, 0.1, 0.2, 0.2)]:
+        got = np.asarray(delta2bbox(
+            jnp.asarray(rois), jnp.asarray(deltas), stds, (96, 128)))
+        np.testing.assert_allclose(
+            got, _delta2bbox_oracle(rois, deltas, stds, (96, 128)),
+            rtol=1e-5, atol=1e-4)
+
+
+def _nms_oracle(boxes, scores, thr):
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    alive = np.ones(len(scores), bool)
+    for i in order:
+        if not alive[i] or scores[i] == -np.inf:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(x2 - x1 + 1, 0) * np.maximum(y2 - y1 + 1, 0)
+        a = (boxes[i, 2] - boxes[i, 0] + 1) * (boxes[i, 3] - boxes[i, 1] + 1)
+        b = ((boxes[:, 2] - boxes[:, 0] + 1)
+             * (boxes[:, 3] - boxes[:, 1] + 1))
+        alive &= (inter / (a + b - inter)) <= thr
+    return keep
+
+
+def test_nms_matches_sorted_greedy_oracle():
+    rng = np.random.default_rng(1)
+    boxes = rng.uniform(0, 50, (64, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(2, 30, (64, 2))
+    scores = rng.uniform(0, 1, 64).astype(np.float32)
+    scores[5] = scores[9] = -np.inf  # masked candidates never picked
+    idx, ok = jax.jit(nms_pick, static_argnums=(2, 3))(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 64)
+    got = list(np.asarray(idx)[np.asarray(ok)])
+    assert got == _nms_oracle(boxes, scores, 0.5)
+
+
+def _roi_align_oracle(feat, boxes, scale, out=7, sn=2):
+    H, W, C = feat.shape
+    res = np.zeros((len(boxes), out, out, C), np.float32)
+    for n, (bx1, by1, bx2, by2) in enumerate(boxes):
+        x1, y1 = bx1 * scale, by1 * scale
+        w = max(bx2 * scale - x1, 1.0)
+        h = max(by2 * scale - y1, 1.0)
+        bw, bh = w / out, h / out
+        for py in range(out):
+            for px in range(out):
+                acc = np.zeros(C, np.float32)
+                for iy in range(sn):
+                    for ix in range(sn):
+                        y = y1 + (py + (iy + 0.5) / sn) * bh
+                        x = x1 + (px + (ix + 0.5) / sn) * bw
+                        if y < -1.0 or y > H or x < -1.0 or x > W:
+                            continue
+                        y, x = min(max(y, 0.0), H - 1), min(max(x, 0.0), W - 1)
+                        y0, x0 = int(np.floor(y)), int(np.floor(x))
+                        y1i, x1i = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                        ly, lx = y - y0, x - x0
+                        acc += ((1 - ly) * (1 - lx) * feat[y0, x0]
+                                + (1 - ly) * lx * feat[y0, x1i]
+                                + ly * (1 - lx) * feat[y1i, x0]
+                                + ly * lx * feat[y1i, x1i])
+                res[n, py, px] = acc / (sn * sn)
+    return res
+
+
+def test_roi_align_caffe2_semantics():
+    rng = np.random.default_rng(2)
+    feat = rng.normal(size=(9, 11, 3)).astype(np.float32)
+    boxes = np.array([[0, 0, 40, 36], [8, 4, 20, 30], [-4, -4, 6, 6],
+                      [30, 20, 80, 70], [10, 10, 10.5, 10.5]], np.float32)
+    got = np.asarray(roi_align_v1(jnp.asarray(feat), jnp.asarray(boxes), 0.25))
+    np.testing.assert_allclose(
+        got, _roi_align_oracle(feat, boxes, 0.25), rtol=1e-5, atol=1e-5)
+
+
+def test_roi_levels_v1():
+    boxes = jnp.asarray([[0, 0, 55, 55], [0, 0, 111, 111], [0, 0, 223, 223],
+                         [0, 0, 447, 447], [0, 0, 1000, 1000], [0, 0, 3, 3]],
+                        jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(roi_levels(boxes)), [0, 1, 2, 3, 3, 0])
+
+
+class _TorchRPN(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.rpn_conv = tnn.Conv2d(256, 256, 3, padding=1)
+        self.rpn_cls = tnn.Conv2d(256, 3, 1)
+        self.rpn_reg = tnn.Conv2d(256, 12, 1)
+
+    def forward(self, x):
+        h = F.relu(self.rpn_conv(x))
+        return self.rpn_cls(h), self.rpn_reg(h)
+
+
+class _TorchBBoxHead(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.shared_fcs = tnn.ModuleList(
+            [tnn.Linear(256 * 49, 1024), tnn.Linear(1024, 1024)])
+        self.fc_cls = tnn.Linear(1024, 81)
+        self.fc_reg = tnn.Linear(1024, 4)
+
+    def forward(self, x):  # (N, 256, 7, 7) torch layout
+        h = x.flatten(1)
+        for fc in self.shared_fcs:
+            h = F.relu(fc(h))
+        return self.fc_cls(h), self.fc_reg(h)
+
+
+def test_head_conversion_torch_parity():
+    torch.manual_seed(0)
+    trpn, theads = _TorchRPN(), [_TorchBBoxHead() for _ in range(3)]
+    sd = {}
+    for k, v in trpn.state_dict().items():
+        sd[f"rpn_head.{k}"] = v
+    for i, th in enumerate(theads):
+        for k, v in th.state_dict().items():
+            sd[f"bbox_head.{i}.{k}"] = v
+    variables = convert_cascade_heads(sd)
+
+    feat = torch.randn(1, 256, 6, 8)
+    with torch.no_grad():
+        rc, rr = trpn(feat)
+    cls, reg = RPNHead().apply(
+        variables["rpn"], jnp.asarray(feat.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(cls).transpose(0, 3, 1, 2),
+                               rc.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg).transpose(0, 3, 1, 2),
+                               rr.numpy(), rtol=1e-4, atol=1e-5)
+
+    roi = torch.randn(5, 256, 7, 7)
+    for i, th in enumerate(theads):
+        with torch.no_grad():
+            tc, tr = th(roi)
+        fc, fr = SharedFCBBoxHead().apply(
+            variables["bbox"][i],
+            jnp.asarray(roi.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(fc), tc.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fr), tr.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_preprocess_protocol():
+    img = np.random.default_rng(3).integers(
+        0, 256, (240, 360, 3), dtype=np.uint8)
+    padded, hw, scale = preprocess(img)
+    # UCSD geometry: min(1333/360, 800/240) = 800/240
+    assert abs(scale - 800.0 / 240.0) < 1e-9
+    assert hw == (800, 1200)
+    assert padded.shape == (800, 1216, 3)
+    assert padded.dtype == np.float32
+    # padding region is zero, content normalized
+    assert np.all(padded[:, 1200:] == 0.0)
+
+
+def test_full_detect_smoke():
+    from tests.test_mmdet_import import TBackboneFPN, _randomize
+
+    torch.manual_seed(1)
+    tnet = _randomize(TBackboneFPN(50), seed=7)
+    sd = dict(tnet.state_dict())
+    trpn, theads = _TorchRPN(), [_TorchBBoxHead() for _ in range(3)]
+    for k, v in trpn.state_dict().items():
+        sd[f"rpn_head.{k}"] = v
+    for i, th in enumerate(theads):
+        for k, v in th.state_dict().items():
+            sd[f"bbox_head.{i}.{k}"] = v
+
+    from vec_vad_tpu.fore.mmdet_import import convert_backbone_fpn
+
+    variables = {"body": convert_backbone_fpn(sd, depth=50),
+                 **convert_cascade_heads(sd)}
+    det = MMDetCascadeDetector(
+        jax.tree_util.tree_map(jnp.asarray, variables), depth=50,
+        nms_pre=48, nms_post=24, max_num=32, max_per_img=8,
+        score_thr=1e-4)
+    img = np.random.default_rng(4).integers(
+        0, 256, (48, 64, 3), dtype=np.uint8)
+    boxes, scores, labels = det.detect(img)
+    assert boxes.shape[1] == 4 and len(scores) == len(boxes) == len(labels)
+    assert len(boxes) <= 8
+    if len(boxes):
+        assert np.all(np.diff(scores) <= 1e-6)
+        assert np.all(boxes[:, 2:] >= boxes[:, :2] - 1e-3)
+        assert np.all(boxes >= -1e-3)
+        assert np.all(labels >= 0) and np.all(labels < 80)
+    b2, s2 = det(img)  # AppearanceDetector protocol
+    np.testing.assert_array_equal(b2, boxes)
