@@ -19,6 +19,7 @@ by default for checkpoint fidelity.
 """
 
 from __future__ import annotations
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -50,7 +51,7 @@ class FlowNet2(nn.Module):
     rgb_max: float = 255.0
     div_flow: float = 20.0
     align_corners: bool = True
-    use_pallas_correlation: bool = False
+    use_pallas_correlation: Optional[bool] = None
     interpret_pallas: bool = False
 
     def setup(self):
@@ -113,7 +114,7 @@ class FlowNet2C(nn.Module):
     rgb_max: float = 255.0
     div_flow: float = 20.0
     align_corners: bool = True
-    use_pallas_correlation: bool = False
+    use_pallas_correlation: Optional[bool] = None
     interpret_pallas: bool = False
 
     def setup(self):
@@ -170,7 +171,7 @@ class FlowNet2CS(nn.Module):
     rgb_max: float = 255.0
     div_flow: float = 20.0
     align_corners: bool = True
-    use_pallas_correlation: bool = False
+    use_pallas_correlation: Optional[bool] = None
     interpret_pallas: bool = False
 
     def setup(self):
@@ -203,7 +204,7 @@ class FlowNet2CSS(nn.Module):
     rgb_max: float = 255.0
     div_flow: float = 20.0
     align_corners: bool = True
-    use_pallas_correlation: bool = False
+    use_pallas_correlation: Optional[bool] = None
     interpret_pallas: bool = False
 
     def setup(self):

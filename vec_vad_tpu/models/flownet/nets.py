@@ -19,6 +19,8 @@ losses.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,7 +148,7 @@ def _cat(*xs):
 
 class FlowNetC(nn.Module):
     with_bn: bool = False
-    use_pallas_correlation: bool = False
+    use_pallas_correlation: Optional[bool] = None
     interpret_pallas: bool = False
 
     def setup(self):

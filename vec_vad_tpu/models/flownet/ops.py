@@ -2,16 +2,15 @@
 the up-sampling helpers FlowNet2 relies on.
 
   * correlation — cost volume (ops/correlation/correlation_cuda_kernel.cu):
-    441-channel dot-product over a 21x21 displacement grid. The PRODUCT
-    path is the analytic-jnp formulation (correlation_ref + its
-    hand-written backward): XLA fuses the shifted dot-products into MXU
-    contractions that reuse each feature row across displacements, and on
-    hardware it beats the Pallas kernel at FlowNetC scale (BENCH_r03 pins
-    both timings). The Pallas fwd+bwd kernels are kept as the verified
-    hardware-native reference (use_pallas=True) — they demonstrate the
-    VMEM-resident design the CUDA kernel uses, but their stripe reads
-    lack the einsum's cross-displacement reuse (see CLAUDE.md, STC-kernel
-    retirement analysis: same structural conclusion).
+    441-channel dot-product over a 21x21 displacement grid. Two verified
+    implementations, selected automatically (use_pallas=None): on TPU the
+    Pallas fwd+bwd kernels (VMEM-resident feature tiles, the CUDA
+    kernels' design re-expressed for Mosaic), which BENCH_r03 pins FASTER
+    than the einsum at FlowNetC production scale (batch 4, 256ch, 48x64:
+    543 vs 586 ms fwd+bwd); on cpu/gpu the analytic-jnp formulation
+    (correlation_ref + hand-written backward), whose shifted dot-products
+    XLA fuses into MXU/BLAS contractions. Both agree to 1e-3 on hardware
+    (pinned every round in the bench artifact).
   * warp_bilinear — Resample2d (ops/resample2d/Resample2d_kernel.cu:20-66):
     backward warp with corner-clamped bilinear sampling; pure jnp, XLA
     autodiff supplies the VJP the reference hand-writes in CUDA.
@@ -292,12 +291,23 @@ def correlation_bwd_pallas(
     return grad_a, grad_b
 
 
+def _resolve_pallas(use_pallas) -> bool:
+    """None = auto: the Pallas kernels on TPU-class backends (where
+    BENCH_r03 pins them faster than the einsum at FlowNetC scale), the
+    analytic-jnp formulation on cpu/gpu (no Mosaic there)."""
+    if use_pallas is None:
+        import jax as _jax
+
+        return _jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    return bool(use_pallas)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def correlation(a, b, max_disp=20, stride=2, use_pallas=False, interpret=False):
+def correlation(a, b, max_disp=20, stride=2, use_pallas=None, interpret=False):
     """Differentiable cost volume: Pallas forward (optional) with matching
     Pallas or analytic-jnp backward — the hand-written CUDA kernels'
     equivalent (correlation_cuda_kernel.cu:34-290)."""
-    if use_pallas:
+    if _resolve_pallas(use_pallas):
         return correlation_pallas(a, b, max_disp, stride, interpret=interpret)
     return correlation_ref(a, b, max_disp, stride)
 
@@ -308,7 +318,7 @@ def _correlation_fwd(a, b, max_disp, stride, use_pallas, interpret):
 
 def _correlation_bwd(max_disp, stride, use_pallas, interpret, res, g):
     a, b = res
-    if use_pallas:
+    if _resolve_pallas(use_pallas):
         return correlation_bwd_pallas(
             a, b, g, max_disp, stride, interpret=interpret
         )
