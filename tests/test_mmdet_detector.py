@@ -278,3 +278,51 @@ def test_full_detect_smoke():
         assert np.all(labels >= 0) and np.all(labels < 80)
     b2, s2 = det(img)  # AppearanceDetector protocol
     np.testing.assert_array_equal(b2, boxes)
+
+
+def test_runner_wiring_uses_configured_checkpoint(tmp_path, monkeypatch):
+    """config.fore.mmdet_checkpoint routes obj_det extraction through the
+    converted detector (runner.load_split) instead of motion-only."""
+    import os
+
+    from vec_vad_tpu import runner as runner_mod
+    from vec_vad_tpu.config import load_ini_config
+    from vec_vad_tpu.data.synthetic import make_synthetic_dataset
+
+    base = str(tmp_path)
+    make_synthetic_dataset(
+        root=os.path.join(base, "raw_datasets", "UCSDped2"),
+        frames_per_video=6, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=5, write_to_disk=True,
+    )
+    cfg_text = """
+[shared_parameters]
+dataset_name = UCSDped2
+raw_dataset_dir = raw_datasets
+foreground_extraction_mode = obj_det
+data_root_dir = data
+modality = raw
+method = SelfComplete
+mmdet_checkpoint = {ckpt}
+"""
+    ckpt = os.path.join(base, "fake.pth")
+    cfg_path = os.path.join(base, "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text.format(ckpt=ckpt))
+    cfg = load_ini_config(cfg_path)
+    assert cfg.fore.mmdet_checkpoint == ckpt
+
+    calls = []
+
+    def fake_loader(path):
+        assert path == ckpt
+        def det(img):
+            calls.append(img.shape)
+            return (np.array([[2.0, 2.0, 30.0, 40.0]]), np.array([0.9]))
+        return det
+
+    monkeypatch.setattr(runner_mod, "_mmdet_detector", fake_loader)
+    data = runner_mod.load_split(cfg, base, "testing")
+    assert len(calls) == data.index.total_frames
+    # the detection survived score/area filtering into the box lists
+    assert all(b.shape == (1, 4) for b in data.boxes)

@@ -109,6 +109,11 @@ class ForegroundConfig:
     # Static capacity for padded per-frame bbox sets. The shipped reference
     # fixtures peak at ~22 boxes/frame; 64 leaves headroom for dense scenes.
     max_boxes_per_frame: int = 64
+    # Path to a real mmdet cascade_rcnn_*_fpn checkpoint (the reference's
+    # appearance detector, fore_det/inference.py:51-81). When set and no
+    # bbox fixture exists, obj_det modes run the converted detector
+    # (fore/mmdet_detector.py) instead of degrading to motion-only.
+    mmdet_checkpoint: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -242,6 +247,7 @@ def load_ini_config(path: str) -> PipelineConfig:
         test_block_mode=ds_get("test_block_mode", int, 1),
         motion_thr=ds_get("motionthr", float, 0.0),
         save_seg_num=ds_get("savesegnum", int, 40000),
+        mmdet_checkpoint=shared.get("mmdet_checkpoint", None) or None,
     )
 
     model = CompletionConfig()

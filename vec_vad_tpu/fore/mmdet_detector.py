@@ -412,21 +412,30 @@ class MMDetCascadeDetector:
     consumes — class labels are dropped exactly like
     obj_det_with_motion.py:77-86 vstacks all classes."""
 
-    def __init__(self, variables, depth: int = 101, **test_cfg):
+    def __init__(self, variables, depth: int = 101,
+                 img_scale: Tuple[int, int] = (1333, 800), **test_cfg):
         self.net = BackboneFPN(depth=depth)
         self.rpn = RPNHead()
         self.heads = [SharedFCBBoxHead() for _ in range(3)]
         self.variables = variables
+        self.img_scale = img_scale
         self.test_cfg = test_cfg
         self._jitted = {}
 
     @classmethod
-    def from_checkpoint(cls, path: str, depth: int = 101, **test_cfg):
+    def from_checkpoint(cls, path: str, depth: int | None = None,
+                        **test_cfg):
+        """depth=None infers it from the checkpoint's stage-3 block count
+        (cascade_rcnn_r101_fpn_1x ships R101; R50/R152 variants load
+        identically)."""
         import torch
 
-        from vec_vad_tpu.fore.mmdet_import import convert_backbone_fpn
+        from vec_vad_tpu.fore.mmdet_import import (
+            convert_backbone_fpn, infer_depth, strip_checkpoint)
 
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if depth is None:
+            depth = infer_depth(strip_checkpoint(ckpt))
         variables = {"body": convert_backbone_fpn(ckpt, depth=depth),
                      **convert_cascade_heads(ckpt)}
         return cls(jax.tree_util.tree_map(jnp.asarray, variables),
@@ -449,7 +458,7 @@ class MMDetCascadeDetector:
     def detect(self, img_bgr: np.ndarray):
         """-> (boxes (K, 4) in ORIGINAL image coords, scores (K,),
         labels (K,)) for kept detections."""
-        padded, img_hw, scale = preprocess(img_bgr)
+        padded, img_hw, scale = preprocess(img_bgr, *self.img_scale)
         fn = self._fn_for(padded.shape[:2], img_hw)
         b, s, l, ok = fn(self.variables, jnp.asarray(padded))
         keep = np.asarray(ok)

@@ -295,3 +295,14 @@ def load_backbone_fpn(path: str, depth: int = 101):
     return net, jax.tree_util.tree_map(
         jnp.asarray, convert_backbone_fpn(ckpt, depth=depth)
     )
+
+
+def infer_depth(sd: Dict) -> int:
+    """ResNet depth from a stripped state-dict: the stage-3 block count is
+    unique per depth (6 -> 50, 23 -> 101, 36 -> 152)."""
+    n3 = 1 + max(int(k.split(".")[2]) for k in sd
+                 if k.startswith("backbone.layer3."))
+    for depth, counts in RESNET_STAGES.items():
+        if counts[2] == n3:
+            return depth
+    raise ValueError(f"unrecognized backbone: layer3 has {n3} blocks")

@@ -13,6 +13,7 @@ Layout conventions match the reference:
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -61,6 +62,15 @@ def _dataset_root(cfg: PipelineConfig, base: str) -> str:
     return os.path.join(base, cfg.raw_dataset_dir, cfg.dataset_name)
 
 
+@functools.lru_cache(maxsize=2)
+def _mmdet_detector(checkpoint_path: str):
+    """Converted-checkpoint appearance detector, memoized so the train and
+    test splits share one loaded model (first compile is expensive)."""
+    from vec_vad_tpu.fore.mmdet_detector import MMDetCascadeDetector
+
+    return MMDetCascadeDetector.from_checkpoint(checkpoint_path)
+
+
 def load_split(cfg: PipelineConfig, base: str, split: str) -> SplitData:
     """Assemble one split's inputs: index, lazy frames, optional flow tree,
     and foreground boxes (fixture file if present, else computed)."""
@@ -88,13 +98,16 @@ def load_split(cfg: PipelineConfig, base: str, split: str) -> SplitData:
         det = PrecomputedDetector(fixture)
         boxes = [det.boxes_for_frame(i) for i in range(index.total_frames)]
     else:
-        # on-the-fly localization; obj_det modes degrade to motion-only
-        # without a plugged-in appearance detector
-        detector = (
-            (lambda img: (np.zeros((0, 4)), np.zeros(0)))
-            if cfg.fore.extraction_mode.startswith("obj_det")
-            else None
-        )
+        # on-the-fly localization: a configured mmdet checkpoint powers the
+        # appearance stage (the reference's fore_det/inference.py path);
+        # without one, obj_det modes degrade to motion-only
+        if (cfg.fore.extraction_mode.startswith("obj_det")
+                and cfg.fore.mmdet_checkpoint):
+            detector = _mmdet_detector(cfg.fore.mmdet_checkpoint)
+        elif cfg.fore.extraction_mode.startswith("obj_det"):
+            detector = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
+        else:
+            detector = None
         # motion modes need decoded frames chunk by chunk; materialize lazily
         boxes = compute_foreground_bboxes(
             cfg, spec, index, frames=frames, detector=detector
