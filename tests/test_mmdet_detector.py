@@ -326,3 +326,52 @@ mmdet_checkpoint = {ckpt}
     assert len(calls) == data.index.total_frames
     # the detection survived score/area filtering into the box lists
     assert all(b.shape == (1, 4) for b in data.boxes)
+
+
+def test_precompute_boxes_cli_roundtrip(tmp_path):
+    """`precompute-boxes` writes fixtures load_split then serves verbatim
+    (the reference's *_bbox_saved precomputation workflow)."""
+    import os
+
+    from vec_vad_tpu import cli
+    from vec_vad_tpu import runner as runner_mod
+    from vec_vad_tpu.config import load_ini_config
+    from vec_vad_tpu.data.synthetic import make_synthetic_dataset
+
+    base = str(tmp_path)
+    root = os.path.join(base, "raw_datasets", "UCSDped2")
+    make_synthetic_dataset(
+        root=root, frames_per_video=6, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=6, write_to_disk=True,
+    )
+    cfg_path = os.path.join(base, "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write("""
+[shared_parameters]
+dataset_name = UCSDped2
+raw_dataset_dir = raw_datasets
+foreground_extraction_mode = obj_det_with_motion
+data_root_dir = data
+modality = raw
+method = SelfComplete
+""")
+    rc = cli.main(["precompute-boxes", "--config", cfg_path, "--base", base])
+    assert rc == 0
+    for split in ("train", "test"):
+        fx = os.path.join(root, f"bboxes_{split}_obj_det_with_motion.npy")
+        assert os.path.exists(fx), fx
+
+    cfg = load_ini_config(cfg_path)
+    data = runner_mod.load_split(cfg, base, "test")
+    fixture = np.load(
+        os.path.join(root, "bboxes_test_obj_det_with_motion.npy"),
+        allow_pickle=True)
+    assert len(fixture) == data.index.total_frames
+    for served, saved in zip(data.boxes, fixture):
+        np.testing.assert_array_equal(
+            np.asarray(served).reshape(-1, 4),
+            np.asarray(saved).reshape(-1, 4))
+
+    # second invocation without --overwrite is a no-op
+    rc = cli.main(["precompute-boxes", "--config", cfg_path, "--base", base])
+    assert rc == 0

@@ -163,6 +163,17 @@ def cmd_calc_flow(args) -> int:
     return 0
 
 
+def cmd_precompute_boxes(args) -> int:
+    from vec_vad_tpu.runner import run_precompute_boxes
+
+    cfg = _load_cfg(args)
+    run_precompute_boxes(
+        cfg, args.base, splits=tuple(args.splits.split(",")),
+        overwrite=args.overwrite,
+    )
+    return 0
+
+
 def cmd_extract_frames(args) -> int:
     """Video file -> %06d.jpg frames
     (raw_datasets/ShanghaiTech/extract_frames.py equivalent)."""
@@ -253,6 +264,16 @@ def main(argv=None) -> int:
         "size (0 = auto-route by footprint; oversized splits stream)",
     )
     p.set_defaults(fn=cmd_calc_flow)
+
+    p = sub.add_parser(
+        "precompute-boxes",
+        help="generate bboxes_{split}_{mode}.npy fixtures (the reference's "
+             "fore_det precomputation; uses mmdet_checkpoint if configured)",
+    )
+    _add_common(p)
+    p.add_argument("--splits", default="train,test")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_precompute_boxes)
 
     p = sub.add_parser("extract-frames", help="video file -> frame images")
     p.add_argument("--video", required=True)

@@ -394,3 +394,53 @@ def run_calc_flow(
             )
             save_flow_tree(flow, index, of_root, root)
             print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
+
+
+def run_precompute_boxes(
+    cfg: PipelineConfig,
+    base: str,
+    splits: Tuple[str, ...] = ("train", "test"),
+    overwrite: bool = False,
+) -> List[str]:
+    """Generate the per-split bbox fixture files the pipeline auto-detects
+    (`bboxes_{split}_{mode}.npy`, object array of (N_i, 4) float32) — the
+    reference's fore_det precomputation products (README.md:51,
+    train.py:52-100 `*_bbox_saved` flags). With `mmdet_checkpoint`
+    configured the appearance stage runs the converted Cascade R-CNN;
+    otherwise obj_det modes degrade to motion-only exactly like
+    load_split's on-the-fly path."""
+    from vec_vad_tpu.runtime.native_loader import make_frame_stack
+
+    root = _dataset_root(cfg, base)
+    spec = cfg.dataset
+    written = []
+    for split in splits:
+        out = os.path.join(
+            root, f"bboxes_{split}_{cfg.fore.extraction_mode}.npy"
+        )
+        if os.path.exists(out) and not overwrite:
+            print(f"{out} exists; skipping (--overwrite to regenerate)")
+            continue
+        index = VideoIndex.from_layout(
+            cfg.dataset_name, root, split, spec.file_ext
+        )
+        if index.total_frames == 0:
+            raise FileNotFoundError(f"no frames under {root} for {split!r}")
+        frames = make_frame_stack(index)
+        if (cfg.fore.extraction_mode.startswith("obj_det")
+                and cfg.fore.mmdet_checkpoint):
+            detector = _mmdet_detector(cfg.fore.mmdet_checkpoint)
+        elif cfg.fore.extraction_mode.startswith("obj_det"):
+            detector = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
+        else:
+            detector = None
+        boxes = compute_foreground_bboxes(
+            cfg, spec, index, frames=frames, detector=detector
+        )
+        arr = np.empty(len(boxes), dtype=object)
+        for i, b in enumerate(boxes):
+            arr[i] = np.asarray(b, dtype=np.float32).reshape(-1, 4)
+        np.save(out, arr, allow_pickle=True)
+        written.append(out)
+        print(f"wrote {out} ({len(boxes)} frames)")
+    return written
