@@ -28,9 +28,16 @@ def pallas_correlation_check() -> dict:
     """Pallas-vs-einsum correlation fwd+bwd ON HARDWARE at FlowNetC scale
     (batch 4, 256ch, 48x64 — the conv3 cost-volume input for 512x384
     frames): verifies the Pallas kernel against the jnp formulation and
-    pins BOTH timings so the production default (ops.py: analytic jnp,
-    use_pallas_correlation=False) is a driver-recorded, data-backed
-    choice rather than a docstring claim."""
+    pins BOTH timings so the production default (ops.py: auto — Pallas on
+    TPU) is a driver-recorded, data-backed choice.
+
+    Timing protocol: K executions queued on the device stream with only an
+    8-byte scalar downloaded at the end (in-order execution means forcing
+    the last result bounds all K) — fwd+bwd here is ~11 GFLOP (~ms), so a
+    bulk gradient download (25 MB over the ~40 MB/s tunnel) or per-call
+    sync would swamp the thing being measured. (A lax.scan variant blew
+    the remote compiler's time budget; eager chaining reuses the single
+    compiled executable.)"""
     import jax
     import jax.numpy as jnp
 
@@ -40,32 +47,36 @@ def pallas_correlation_check() -> dict:
     a = jnp.asarray(rng.normal(size=(4, 48, 64, 256)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(4, 48, 64, 256)).astype(np.float32))
     g = jnp.asarray(rng.normal(size=(4, 48, 64, 441)).astype(np.float32))
+    K = 10
 
     def loss(x, y, pal):
         return jnp.sum(correlation(x, y, 20, 2, pal, False) * g)
 
     f = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)
 
+    reduce = jax.jit(lambda ga, gb: jnp.sum(ga) + jnp.sum(gb))
+
     def timed(pal):
+        float(reduce(*f(a, b, pal)))  # compile + warm both executables
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            ga, gb = f(a, b, pal)
-            np.asarray(ga), np.asarray(gb)
-            best = min(best, (time.perf_counter() - t0) * 1000.0)
+            for _ in range(K):
+                ga, gb = f(a, b, pal)
+            float(reduce(ga, gb))
+            best = min(best, (time.perf_counter() - t0) * 1000.0 / K)
         return best
 
     try:
         ga_p, gb_p = f(a, b, True)
-        np.asarray(ga_p)  # force compile+run before timing
         ga_r, gb_r = f(a, b, False)
         ok = bool(
             np.allclose(np.asarray(ga_p), np.asarray(ga_r), atol=1e-3)
             and np.allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-3)
         )
         return {"pallas_correlation_ok": ok,
-                "pallas_correlation_ms": round(timed(True), 1),
-                "jnp_correlation_ms": round(timed(False), 1)}
+                "pallas_correlation_ms": round(timed(True), 2),
+                "jnp_correlation_ms": round(timed(False), 2)}
     except Exception:
         return {"pallas_correlation_ok": False, "pallas_correlation_ms": -1.0}
 

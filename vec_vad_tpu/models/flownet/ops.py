@@ -7,7 +7,8 @@ the up-sampling helpers FlowNet2 relies on.
     Pallas fwd+bwd kernels (VMEM-resident feature tiles, the CUDA
     kernels' design re-expressed for Mosaic), which BENCH_r03 pins FASTER
     than the einsum at FlowNetC production scale (batch 4, 256ch, 48x64:
-    543 vs 586 ms fwd+bwd); on cpu/gpu the analytic-jnp formulation
+    22.2 vs 34.8 ms fwd+bwd, compute-only timing — scalar download,
+    per-step); on cpu/gpu the analytic-jnp formulation
     (correlation_ref + hand-written backward), whose shifted dot-products
     XLA fuses into MXU/BLAS contractions. Both agree to 1e-3 on hardware
     (pinned every round in the bench artifact).
