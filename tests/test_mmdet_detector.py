@@ -375,3 +375,114 @@ method = SelfComplete
     # second invocation without --overwrite is a no-op
     rc = cli.main(["precompute-boxes", "--config", cfg_path, "--base", base])
     assert rc == 0
+
+
+def test_cascade_detect_composition_oracle():
+    """End-to-end cascade_detect vs a numpy/torch re-composition of the v1
+    simple_test recipe built from this file's already-verified oracles —
+    catches wiring bugs (top-k ordering, level routing, stage chaining,
+    logit averaging, multiclass NMS + cap) that per-op tests cannot."""
+    import functools
+
+    from tests.test_mmdet_import import TBackboneFPN, _randomize
+    from vec_vad_tpu.fore.mmdet_detector import (
+        ANCHOR_STRIDES, STAGE_STDS, BackboneFPN, cascade_detect,
+        roi_levels as jroi_levels,
+    )
+    from vec_vad_tpu.fore.mmdet_import import convert_backbone_fpn
+
+    torch.manual_seed(2)
+    tnet = _randomize(TBackboneFPN(50), seed=11)
+    trpn, theads = _TorchRPN(), [_TorchBBoxHead() for _ in range(3)]
+    sd = dict(tnet.state_dict())
+    for k, v in trpn.state_dict().items():
+        sd[f"rpn_head.{k}"] = v
+    for i, th in enumerate(theads):
+        for k, v in th.state_dict().items():
+            sd[f"bbox_head.{i}.{k}"] = v
+    variables = {"body": convert_backbone_fpn(sd, depth=50),
+                 **convert_cascade_heads(sd)}
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    H, W = 64, 96
+    img_hw = (H, W)
+    cfgs = dict(nms_pre=40, nms_post=20, max_num=24, max_per_img=8,
+                score_thr=1e-4, rpn_nms_thr=0.7, rcnn_nms_thr=0.5)
+    img = np.random.default_rng(8).normal(size=(H, W, 3)).astype(np.float32)
+
+    net = BackboneFPN(depth=50)
+    anchors = [grid_anchors(s, -(-H // s), -(-W // s))
+               for s in ANCHOR_STRIDES]
+    fn = jax.jit(functools.partial(
+        cascade_detect, net=net, rpn=RPNHead(),
+        heads=[SharedFCBBoxHead() for _ in range(3)],
+        anchors_per_level=[jnp.asarray(a) for a in anchors], **cfgs))
+    jb, js, jl, jok = fn(variables, jnp.asarray(img), img_hw)
+    jb, js, jl = (np.asarray(jb)[np.asarray(jok)],
+                  np.asarray(js)[np.asarray(jok)],
+                  np.asarray(jl)[np.asarray(jok)])
+
+    # ---- numpy/torch oracle composition ----
+    pyramid = [np.asarray(p[0]) for p in
+               net.apply(variables["body"], jnp.asarray(img)[None])]
+    # RPN proposals
+    all_boxes, all_scores = [], []
+    for lvl, feat in enumerate(pyramid):
+        t = torch.from_numpy(feat.transpose(2, 0, 1).copy())[None]
+        with torch.no_grad():
+            cls, reg = trpn(t)
+        scores = 1 / (1 + np.exp(-cls[0].permute(1, 2, 0).reshape(-1).numpy()))
+        deltas = reg[0].permute(1, 2, 0).reshape(-1, 4).numpy()
+        k = min(cfgs["nms_pre"], scores.shape[0])
+        top = np.argsort(-scores, kind="stable")[:k]
+        boxes = _delta2bbox_oracle(
+            anchors[lvl][top], deltas[top], (1, 1, 1, 1), img_hw)
+        keep = _nms_oracle(boxes, scores[top], cfgs["rpn_nms_thr"])
+        keep = keep[:cfgs["nms_post"]]
+        all_boxes.append(boxes[keep])
+        all_scores.append(scores[top][keep])
+    boxes = np.concatenate(all_boxes)
+    scores = np.concatenate(all_scores)
+    order = np.argsort(-scores, kind="stable")[:cfgs["max_num"]]
+    proposals = boxes[order]
+
+    # cascade stages
+    def roi_feats(rois):
+        lv = np.asarray(jroi_levels(jnp.asarray(rois.astype(np.float32))))
+        feats = np.zeros((len(rois), 7, 7, 256), np.float32)
+        for i, (r, l) in enumerate(zip(rois, lv)):
+            feats[i] = _roi_align_oracle(
+                pyramid[l], r[None].astype(np.float32),
+                1.0 / (4 * 2 ** l))[0]
+        return feats
+
+    rois = proposals
+    ms = []
+    for st, th in enumerate(theads):
+        f = torch.from_numpy(roi_feats(rois).transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            logit, reg = th(f)
+        ms.append(logit.numpy())
+        if st < 2:
+            rois = _delta2bbox_oracle(rois, reg.numpy(), STAGE_STDS[st],
+                                      img_hw)
+    final_boxes = _delta2bbox_oracle(rois, reg.numpy(), STAGE_STDS[2],
+                                     img_hw)
+    logits = sum(ms) / 3.0
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    probs = e / e.sum(1, keepdims=True)
+
+    dets = []
+    for c in range(1, 81):
+        s = probs[:, c].copy()
+        s[s <= cfgs["score_thr"]] = -np.inf
+        keep = _nms_oracle(final_boxes, s, cfgs["rcnn_nms_thr"])
+        dets += [(s[i], c - 1, final_boxes[i]) for i in keep if s[i] > 0]
+    dets.sort(key=lambda d: -d[0])
+    dets = dets[:cfgs["max_per_img"]]
+
+    assert len(dets) == len(js)
+    for (os_, ol, ob), (gs, gl, gb) in zip(dets, zip(js, jl, jb)):
+        assert ol == gl
+        np.testing.assert_allclose(gs, os_, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(gb, ob, rtol=1e-3, atol=0.15)
