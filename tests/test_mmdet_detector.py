@@ -233,6 +233,11 @@ def test_head_conversion_torch_parity():
 
 
 def test_preprocess_protocol():
+    import cv2
+
+    from vec_vad_tpu.fore.mmdet_detector import (
+        IMG_MEAN, IMG_STD, normalize_on_device)
+
     img = np.random.default_rng(3).integers(
         0, 256, (240, 360, 3), dtype=np.uint8)
     padded, hw, scale = preprocess(img)
@@ -240,9 +245,15 @@ def test_preprocess_protocol():
     assert abs(scale - 800.0 / 240.0) < 1e-9
     assert hw == (800, 1200)
     assert padded.shape == (800, 1216, 3)
-    assert padded.dtype == np.float32
-    # padding region is zero, content normalized
-    assert np.all(padded[:, 1200:] == 0.0)
+    assert padded.dtype == np.uint8  # normalization happens on device
+
+    # host + device halves compose to mmdet's Resize->Normalize->Pad:
+    # normalized content, exact 0.0 in the pad region
+    dev = np.asarray(normalize_on_device(jnp.asarray(padded), hw))
+    resized = cv2.resize(img, (1200, 800), interpolation=cv2.INTER_LINEAR)
+    ref = (resized[..., ::-1].astype(np.float32) - IMG_MEAN) / IMG_STD
+    np.testing.assert_allclose(dev[:, :1200], ref, rtol=1e-5, atol=1e-5)
+    assert np.all(dev[:, 1200:] == 0.0)
 
 
 def test_full_detect_smoke():

@@ -385,22 +385,39 @@ IMG_STD = np.array([58.395, 57.12, 57.375], np.float32)
 def preprocess(img_bgr: np.ndarray, long_edge: int = 1333,
                short_edge: int = 800) -> Tuple[np.ndarray, Tuple[int, int],
                                                float]:
-    """The test pipeline of cascade_rcnn_r101_fpn_1x.py:175-189: keep-ratio
-    rescale to (1333, 800), BGR->RGB, normalize, pad to /32.
+    """Host half of the test pipeline of cascade_rcnn_r101_fpn_1x.py:175-189:
+    keep-ratio rescale to (1333, 800) on the uint8 image (mmcv resizes
+    BEFORE Normalize, so uint8 resize is the faithful order), BGR->RGB,
+    pad to /32. Normalization happens ON DEVICE (normalize_on_device) so
+    the per-frame upload is uint8 — 4x less tunnel traffic than shipping
+    the normalized float canvas (hardware at R101/800x1216: 371 vs
+    1291 ms/frame through the remote tunnel — both transfer-bound there,
+    the compute itself is tens of ms).
 
-    Returns (padded float32 HWC, resized (h, w), scale_factor)."""
+    Returns (padded uint8 HWC RGB, resized (h, w), scale_factor)."""
     import cv2
 
     h, w = img_bgr.shape[:2]
     scale = min(long_edge / max(h, w), short_edge / min(h, w))
     nw, nh = int(w * scale + 0.5), int(h * scale + 0.5)
     resized = cv2.resize(img_bgr, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    rgb = resized[..., ::-1].astype(np.float32)
-    norm = (rgb - IMG_MEAN) / IMG_STD
     ph, pw = -(-nh // 32) * 32, -(-nw // 32) * 32
-    out = np.zeros((ph, pw, 3), np.float32)
-    out[:nh, :nw] = norm
+    out = np.zeros((ph, pw, 3), np.uint8)
+    out[:nh, :nw] = resized[..., ::-1]
     return out, (nh, nw), scale
+
+
+def normalize_on_device(img_u8, img_hw: Tuple[int, int]):
+    """(x - mean) / std on the uint8 RGB canvas, keeping the mmcv Pad
+    semantic: the padding region (beyond img_hw) stays exactly 0.0 because
+    mmdet pads AFTER Normalize."""
+    x = (img_u8.astype(jnp.float32) - jnp.asarray(IMG_MEAN)) / jnp.asarray(
+        IMG_STD)
+    H, W = img_u8.shape[:2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = (ys < img_hw[0]) & (xs < img_hw[1])
+    return jnp.where(inside[..., None], x, 0.0)
 
 
 class MMDetCascadeDetector:
@@ -452,7 +469,7 @@ class MMDetCascadeDetector:
                 heads=self.heads, anchors_per_level=anchors,
                 **self.test_cfg)
             self._jitted[key] = jax.jit(
-                lambda v, im: fn(v, im, img_hw))
+                lambda v, im: fn(v, normalize_on_device(im, img_hw), img_hw))
         return self._jitted[key]
 
     def detect(self, img_bgr: np.ndarray):
