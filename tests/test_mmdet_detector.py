@@ -497,3 +497,67 @@ def test_cascade_detect_composition_oracle():
         assert ol == gl
         np.testing.assert_allclose(gs, os_, rtol=2e-3, atol=1e-5)
         np.testing.assert_allclose(gb, ob, rtol=1e-3, atol=0.15)
+
+
+def test_detect_many_matches_detect():
+    from tests.test_mmdet_import import TBackboneFPN, _randomize
+    from vec_vad_tpu.fore.mmdet_import import convert_backbone_fpn
+
+    torch.manual_seed(4)
+    tnet = _randomize(TBackboneFPN(50), seed=17)
+    sd = dict(tnet.state_dict())
+    trpn, theads = _TorchRPN(), [_TorchBBoxHead() for _ in range(3)]
+    for k, v in trpn.state_dict().items():
+        sd[f"rpn_head.{k}"] = v
+    for i, th in enumerate(theads):
+        for k, v in th.state_dict().items():
+            sd[f"bbox_head.{i}.{k}"] = v
+    det = MMDetCascadeDetector(
+        jax.tree_util.tree_map(jnp.asarray, {
+            "body": convert_backbone_fpn(sd, depth=50),
+            **convert_cascade_heads(sd)}),
+        depth=50, nms_pre=32, nms_post=16, max_num=16, max_per_img=6,
+        score_thr=1e-4)
+    frames = np.random.default_rng(9).integers(
+        0, 256, (3, 48, 64, 3), dtype=np.uint8)
+    batched = det.detect_many(frames)
+    for i in range(3):
+        b, s, l = det.detect(frames[i])
+        bb, bs, bl = batched[i]
+        np.testing.assert_allclose(bb, b, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(bs, s, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(bl, l)
+
+
+def test_compute_foreground_uses_detect_many():
+    from vec_vad_tpu.config import DATASETS, PipelineConfig
+    from vec_vad_tpu.data.video_index import VideoIndex
+    from vec_vad_tpu.fore.detector import compute_foreground_bboxes
+
+    class Stub:
+        def __init__(self):
+            self.batch_calls = 0
+            self.single_calls = 0
+
+        def detect_many(self, frames):
+            self.batch_calls += 1
+            return [(np.array([[1.0, 1.0, 30.0, 40.0]]), np.array([0.9]),
+                     np.array([0])) for _ in range(len(frames))]
+
+        def __call__(self, img):
+            self.single_calls += 1
+            return np.zeros((0, 4)), np.zeros(0)
+
+    import dataclasses
+
+    cfg = PipelineConfig(dataset_name="UCSDped2")
+    cfg = dataclasses.replace(
+        cfg, fore=dataclasses.replace(cfg.fore, extraction_mode="obj_det"))
+    index = VideoIndex(["v0"], np.array([10]))
+    frames = np.zeros((10, 48, 64, 3), np.uint8)
+    stub = Stub()
+    boxes = compute_foreground_bboxes(
+        cfg, DATASETS["UCSDped2"], index, frames=frames, detector=stub,
+        chunk=4)
+    assert stub.batch_calls == 3 and stub.single_calls == 0
+    assert len(boxes) == 10 and all(b.shape == (1, 4) for b in boxes)

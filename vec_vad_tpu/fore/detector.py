@@ -97,10 +97,21 @@ def compute_foreground_bboxes(
         "obj_det modes need a detector (or PrecomputedDetector fixtures)"
     )
 
-    # appearance stage (host detector) + suppression
+    # appearance stage (host detector) + suppression; detectors exposing
+    # detect_many (e.g. MMDetCascadeDetector) get chunked batched calls —
+    # one device round trip per chunk instead of per frame
     ap_per_frame: List[np.ndarray] = []
+    if hasattr(detector, "detect_many"):
+        raw_results = []
+        for lo in range(0, n, chunk):
+            block = np.asarray(frames[lo : min(lo + chunk, n)])
+            raw_results += [(b, s) for b, s, _ in detector.detect_many(block)]
+    else:
+        raw_results = None
     for i in range(n):
-        raw_boxes, scores = detector(frames[i])
+        raw_boxes, scores = (
+            raw_results[i] if raw_results is not None else detector(frames[i])
+        )
         ap = filter_detections(
             raw_boxes, scores, spec.ap_score_thr, spec.ap_min_area
         )

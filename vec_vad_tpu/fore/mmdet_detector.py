@@ -458,18 +458,28 @@ class MMDetCascadeDetector:
         return cls(jax.tree_util.tree_map(jnp.asarray, variables),
                    depth=depth, **test_cfg)
 
+    def _raw_fn(self, padded_hw: Tuple[int, int], img_hw: Tuple[int, int]):
+        anchors = [jnp.asarray(grid_anchors(
+            s, -(-padded_hw[0] // s), -(-padded_hw[1] // s)))
+            for s in ANCHOR_STRIDES]
+        fn = functools.partial(
+            cascade_detect, net=self.net, rpn=self.rpn,
+            heads=self.heads, anchors_per_level=anchors,
+            **self.test_cfg)
+        return lambda v, im: fn(v, normalize_on_device(im, img_hw), img_hw)
+
     def _fn_for(self, padded_hw: Tuple[int, int], img_hw: Tuple[int, int]):
         key = (padded_hw, img_hw)
         if key not in self._jitted:
-            anchors = [jnp.asarray(grid_anchors(
-                s, -(-padded_hw[0] // s), -(-padded_hw[1] // s)))
-                for s in ANCHOR_STRIDES]
-            fn = functools.partial(
-                cascade_detect, net=self.net, rpn=self.rpn,
-                heads=self.heads, anchors_per_level=anchors,
-                **self.test_cfg)
-            self._jitted[key] = jax.jit(
-                lambda v, im: fn(v, normalize_on_device(im, img_hw), img_hw))
+            self._jitted[key] = jax.jit(self._raw_fn(padded_hw, img_hw))
+        return self._jitted[key]
+
+    def _batched_fn(self, padded_hw: Tuple[int, int],
+                    img_hw: Tuple[int, int]):
+        key = ("batch", padded_hw, img_hw)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(jax.vmap(
+                self._raw_fn(padded_hw, img_hw), in_axes=(None, 0)))
         return self._jitted[key]
 
     def detect(self, img_bgr: np.ndarray):
@@ -481,6 +491,25 @@ class MMDetCascadeDetector:
         keep = np.asarray(ok)
         return (np.asarray(b)[keep] / scale, np.asarray(s)[keep],
                 np.asarray(l)[keep])
+
+    def detect_many(self, frames_bgr) -> list:
+        """Batched detect: ONE device call for a same-sized frame stack —
+        amortizes the per-call round trip that dominates per-frame latency
+        on remote accelerators (precompute-boxes over a whole split is the
+        caller, via compute_foreground_bboxes's detect_many fast path).
+
+        Returns a list of (boxes, scores, labels) like detect() per frame.
+        """
+        pp = [preprocess(f, *self.img_scale) for f in frames_bgr]
+        padded = np.stack([p[0] for p in pp])
+        (img_hw, scale) = pp[0][1], pp[0][2]
+        assert all(p[1] == img_hw for p in pp), "mixed frame sizes in batch"
+        fn = self._batched_fn(padded.shape[1:3], img_hw)
+        b, s, l, ok = fn(self.variables, jnp.asarray(padded))
+        b, s, l, ok = (np.asarray(b), np.asarray(s), np.asarray(l),
+                       np.asarray(ok))
+        return [(b[i][ok[i]] / scale, s[i][ok[i]], l[i][ok[i]])
+                for i in range(len(frames_bgr))]
 
     def __call__(self, img_bgr: np.ndarray):
         boxes, scores, _ = self.detect(img_bgr)
