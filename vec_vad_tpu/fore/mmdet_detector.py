@@ -33,7 +33,7 @@ level assignment (4x compute for zero dynamic shapes — the TPU trade).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from vec_vad_tpu.config import CompletionConfig
 from vec_vad_tpu.models.completion import SelfCompletionNet
