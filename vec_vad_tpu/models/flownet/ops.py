@@ -10,8 +10,12 @@ the up-sampling helpers FlowNet2 relies on.
     22.2 vs 34.8 ms fwd+bwd, compute-only timing — scalar download,
     per-step); on cpu/gpu the analytic-jnp formulation
     (correlation_ref + hand-written backward), whose shifted dot-products
-    XLA fuses into MXU/BLAS contractions. Both agree to 1e-3 on hardware
-    (pinned every round in the bench artifact).
+    XLA fuses into MXU/BLAS contractions. On hardware the two are
+    bit-identical (same f32 reduction tree), pinned every round in the
+    bench artifact. The Pallas default also sidesteps an XLA fragility:
+    standalone-jitted correlation_ref at FlowNetC scale can fail TPU
+    compilation with a scoped-VMEM OOM (one 441-output kLoop fusion
+    exceeding the 16M scoped limit), which the kernel never hits.
   * warp_bilinear — Resample2d (ops/resample2d/Resample2d_kernel.cu:20-66):
     backward warp with corner-clamped bilinear sampling; pure jnp, XLA
     autodiff supplies the VJP the reference hand-writes in CUDA.
