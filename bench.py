@@ -84,6 +84,10 @@ def pallas_correlation_check() -> dict:
 def main() -> None:
     import jax
 
+    from vec_vad_tpu.runtime import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from vec_vad_tpu.config import CompletionConfig, ForegroundConfig, PipelineConfig
     from vec_vad_tpu.data.video_index import VideoIndex
     from vec_vad_tpu.infer import infer_frame_scores_resident

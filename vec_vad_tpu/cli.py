@@ -205,6 +205,11 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # persistent executable cache: repeat CLI runs skip TPU recompiles
+    # (big compiles on the reference backend run minutes; see runtime/)
+    from vec_vad_tpu.runtime import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(prog="vec_vad_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
