@@ -228,6 +228,28 @@ def main() -> None:
         assert len(s) == kb
     dt = time.perf_counter() - t0
     record["streaming_batch8_fps"] = round(nb * kb / dt, 1)
+
+    # Training throughput: one flagship block (2048 cubes, the configured
+    # 10 epochs at batch 128 = 160 optimizer steps) through the public
+    # fit_block surface — whole-run device-resident lax.scan + the
+    # training-score forward pass (the reference's per-block recipe,
+    # train.py:375-431). Warm timing; includes the 25 MB uint8 cube upload.
+    from vec_vad_tpu.parallel.mesh import get_mesh
+    from vec_vad_tpu.train.trainer import BlockTrainer
+
+    n_cubes = 2048
+    raw = rng.integers(
+        0, 256, (n_cubes, P, P, cfg.model.tot_raw_num * 3), dtype=np.uint8
+    )
+    trainer = BlockTrainer(net, cfg.model, get_mesh(), patch_size=P)
+    steps = cfg.model.epochs * (-(-n_cubes // cfg.model.batch_size))
+    trainer.fit_block(raw, None)  # compile + warm
+    t0 = time.perf_counter()
+    blk = trainer.fit_block(raw, None)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(blk.raw_scores).all()
+    record["train_fit_block_s"] = round(dt, 2)
+    record["train_steps_per_s"] = round(steps / dt, 1)
     print(json.dumps(record))
 
 

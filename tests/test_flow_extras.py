@@ -170,6 +170,10 @@ def test_flow_dataset_crops(tmp_path, rng):
 
     with pytest.raises(ValueError):
         MpiSintel(str(si), "clean", crop_size=(128, 512))  # exceeds frame
+    with pytest.raises(ValueError, match="render_size"):
+        # oversized center crop would slice with a negative start and
+        # silently emit short arrays
+        MpiSintel(str(si), "clean", render_size=(128, 512))
 
 
 def test_flow_dataset_validation(tmp_path, rng):

@@ -538,9 +538,11 @@ def test_compute_foreground_uses_detect_many():
         def __init__(self):
             self.batch_calls = 0
             self.single_calls = 0
+            self.batch_sizes = []
 
         def detect_many(self, frames):
             self.batch_calls += 1
+            self.batch_sizes.append(len(frames))
             return [(np.array([[1.0, 1.0, 30.0, 40.0]]), np.array([0.9]),
                      np.array([0])) for _ in range(len(frames))]
 
@@ -558,6 +560,9 @@ def test_compute_foreground_uses_detect_many():
     stub = Stub()
     boxes = compute_foreground_bboxes(
         cfg, DATASETS["UCSDped2"], index, frames=frames, detector=stub,
-        chunk=4)
+        detector_batch=4)
     assert stub.batch_calls == 3 and stub.single_calls == 0
+    # the tail (10 % 4 = 2 frames) pads to the full compiled batch shape
+    # by repeating the last frame; its extra outputs are discarded
+    assert stub.batch_sizes == [4, 4, 4]
     assert len(boxes) == 10 and all(b.shape == (1, 4) for b in boxes)

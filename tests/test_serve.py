@@ -255,7 +255,11 @@ def test_streaming_grid_matches_offline():
         score_cubes(model, tc, trainer=trainer), tc, te_idx.total_frames
     )
 
-    scorer = StreamingScorer.from_model(model)
+    # extraction used the custom 48x64 SPEC, so grid routing must too
+    # (the default route_hw is the config table's geometry)
+    scorer = StreamingScorer.from_model(
+        model, route_hw=(SPEC.frame_h, SPEC.frame_w)
+    )
     streamed = []
     i = 0
     for ln in te_idx.video_lengths:

@@ -103,6 +103,16 @@ class PairFlowDataset:
                 self.frame_size[0] // 64 * 64 or self.frame_size[0],
                 self.frame_size[1] // 64 * 64 or self.frame_size[1],
             )
+        if (
+            render_size[0] > self.frame_size[0]
+            or render_size[1] > self.frame_size[1]
+        ):
+            # an oversized center crop would slice with a negative start
+            # and silently emit short arrays, crashing mid-epoch
+            raise ValueError(
+                f"render_size {tuple(render_size)} exceeds frame size "
+                f"{self.frame_size}"
+            )
         self.render_size = tuple(render_size)
         self._rng = np.random.default_rng(aug_seed)
 

@@ -73,6 +73,7 @@ def compute_foreground_bboxes(
     frames: Optional[np.ndarray] = None,
     detector: Optional[Callable] = None,
     chunk: int = 64,
+    detector_batch: int = 4,
 ) -> List[np.ndarray]:
     """Per-frame foreground boxes for a split, by extraction mode.
 
@@ -98,14 +99,27 @@ def compute_foreground_bboxes(
     )
 
     # appearance stage (host detector) + suppression; detectors exposing
-    # detect_many (e.g. MMDetCascadeDetector) get chunked batched calls —
-    # one device round trip per chunk instead of per frame
+    # detect_many (e.g. MMDetCascadeDetector) get batched calls — one
+    # device round trip per detector_batch frames instead of per frame.
+    # detector_batch is deliberately small and separate from the decode
+    # chunk: the cascade path materializes ~0.8 GB of RoIAlign
+    # intermediates per 800x1216 image, so a 64-frame detector batch
+    # would blow HBM. The tail batch pads by repeating the last frame
+    # (and discards its outputs) so every call reuses ONE compiled shape.
     ap_per_frame: List[np.ndarray] = []
     if hasattr(detector, "detect_many"):
+        db = detector_batch
         raw_results = []
-        for lo in range(0, n, chunk):
-            block = np.asarray(frames[lo : min(lo + chunk, n)])
-            raw_results += [(b, s) for b, s, _ in detector.detect_many(block)]
+        for lo in range(0, n, db):
+            hi = min(lo + db, n)
+            block = np.asarray(frames[lo:hi])
+            if hi - lo < db:
+                block = np.concatenate(
+                    [block, np.repeat(block[-1:], db - (hi - lo), axis=0)]
+                )
+            raw_results += [
+                (b, s) for b, s, _ in detector.detect_many(block)[: hi - lo]
+            ]
     else:
         raw_results = None
     for i in range(n):

@@ -71,6 +71,19 @@ def _mmdet_detector(checkpoint_path: str):
     return MMDetCascadeDetector.from_checkpoint(checkpoint_path)
 
 
+def _resolve_detector(cfg: PipelineConfig):
+    """Appearance detector for on-the-fly localization: a configured mmdet
+    checkpoint powers the appearance stage (the reference's
+    fore_det/inference.py path); without one, obj_det modes degrade to
+    motion-only (empty appearance detections)."""
+    if (cfg.fore.extraction_mode.startswith("obj_det")
+            and cfg.fore.mmdet_checkpoint):
+        return _mmdet_detector(cfg.fore.mmdet_checkpoint)
+    if cfg.fore.extraction_mode.startswith("obj_det"):
+        return lambda img: (np.zeros((0, 4)), np.zeros(0))
+    return None
+
+
 def load_split(cfg: PipelineConfig, base: str, split: str) -> SplitData:
     """Assemble one split's inputs: index, lazy frames, optional flow tree,
     and foreground boxes (fixture file if present, else computed)."""
@@ -98,19 +111,9 @@ def load_split(cfg: PipelineConfig, base: str, split: str) -> SplitData:
         det = PrecomputedDetector(fixture)
         boxes = [det.boxes_for_frame(i) for i in range(index.total_frames)]
     else:
-        # on-the-fly localization: a configured mmdet checkpoint powers the
-        # appearance stage (the reference's fore_det/inference.py path);
-        # without one, obj_det modes degrade to motion-only
-        if (cfg.fore.extraction_mode.startswith("obj_det")
-                and cfg.fore.mmdet_checkpoint):
-            detector = _mmdet_detector(cfg.fore.mmdet_checkpoint)
-        elif cfg.fore.extraction_mode.startswith("obj_det"):
-            detector = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
-        else:
-            detector = None
         # motion modes need decoded frames chunk by chunk; materialize lazily
         boxes = compute_foreground_bboxes(
-            cfg, spec, index, frames=frames, detector=detector
+            cfg, spec, index, frames=frames, detector=_resolve_detector(cfg)
         )
     return SplitData(index=index, frames=frames, flow=flow, boxes=boxes)
 
@@ -427,15 +430,8 @@ def run_precompute_boxes(
         if index.total_frames == 0:
             raise FileNotFoundError(f"no frames under {root} for {split!r}")
         frames = make_frame_stack(index)
-        if (cfg.fore.extraction_mode.startswith("obj_det")
-                and cfg.fore.mmdet_checkpoint):
-            detector = _mmdet_detector(cfg.fore.mmdet_checkpoint)
-        elif cfg.fore.extraction_mode.startswith("obj_det"):
-            detector = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
-        else:
-            detector = None
         boxes = compute_foreground_bboxes(
-            cfg, spec, index, frames=frames, detector=detector
+            cfg, spec, index, frames=frames, detector=_resolve_detector(cfg)
         )
         arr = np.empty(len(boxes), dtype=object)
         for i, b in enumerate(boxes):

@@ -101,6 +101,7 @@ class StreamingScorer:
         blocks: Optional[Dict[tuple, tuple]] = None,
         pipeline_depth: int = 0,
         gray_stream: bool = False,
+        route_hw: Optional[Tuple[int, int]] = None,
     ):
         """Single-block form: (variables, stats) serve every box (a 1x1
         grid at block key (0, 0, 0)). Grid form: pass `blocks` mapping
@@ -122,6 +123,12 @@ class StreamingScorer:
         ring write — bit-identical to cv2.imread's gray->BGR replication
         (how the reference reads UCSDped2's .tif frames) at a third of
         the per-push upload.
+
+        route_hw: (h, w) geometry for block-grid routing, which must match
+        the spec the model's cubes were EXTRACTED with (pipeline.py routes
+        by spec.frame_h / h_block). Defaults to the config table's
+        dataset geometry — correct for every runner/CLI workflow; pass it
+        explicitly when extraction used a custom DatasetSpec.
         """
         mc = cfg.model
         if mc.border_mode != "predict":
@@ -140,6 +147,9 @@ class StreamingScorer:
         self.ctx_of = int(mc.context_of_num)
         self.use_flow = bool(mc.use_flow)
         self._compute_dtype = compute_dtype
+        self.route_hw = (
+            tuple(route_hw) if route_hw is not None else cfg.dataset.frame_hw
+        )
 
         if blocks is None:
             if variables is None:
@@ -307,13 +317,7 @@ class StreamingScorer:
                 frame = frame[..., 0]
         elif frame.ndim != 3:
             raise ValueError("3-channel frame expected (or gray_stream=True)")
-        if self._ring is None:
-            h, w = frame.shape[:2]
-            self._ring = jnp.zeros((self.R, h, w, 3), jnp.uint8)
-            if self.use_flow:
-                self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
-            else:
-                self._flow_ring = jnp.zeros((1, 1, 1, 2), jnp.float32)
+        self._ensure_rings(*frame.shape[:2])
         pos = self._n_pushed - self._v0  # position within current video
 
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
@@ -378,13 +382,7 @@ class StreamingScorer:
             raise ValueError("model fuses the flow stream; pass flows=")
         if self.gray_stream and frames.ndim == 4:
             frames = frames[..., 0]
-        if self._ring is None:
-            h, w = frames.shape[1:3]
-            self._ring = jnp.zeros((self.R, h, w, 3), jnp.uint8)
-            if self.use_flow:
-                self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
-            else:
-                self._flow_ring = jnp.zeros((1, 1, 1, 2), jnp.float32)
+        self._ensure_rings(*frames.shape[1:3])
 
         ctrls = np.zeros((k, 2 + self.R + self.R_of), np.int32)
         boxes_pad = np.zeros((k, self.K, 4), np.float32)
@@ -422,6 +420,18 @@ class StreamingScorer:
             for j in range(k)
         ]
 
+    def _ensure_rings(self, h: int, w: int) -> None:
+        """Lazy ring allocation from the first pushed frame's geometry
+        (shared by push and push_many — the rings must be identical
+        whichever entry point fills first)."""
+        if self._ring is not None:
+            return
+        self._ring = jnp.zeros((self.R, h, w, 3), jnp.uint8)
+        if self.use_flow:
+            self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
+        else:
+            self._flow_ring = jnp.zeros((1, 1, 1, 2), jnp.float32)
+
     def drain(self) -> List[float]:
         """Materialize and return the scores still in flight (stream end)."""
         out = [self._finish(*e) for e in self._pending]
@@ -440,10 +450,15 @@ class StreamingScorer:
             keep &= mag > self.cfg.fore.motion_thr
 
         # host-side grid routing (test.py:282-310): each kept box scores
-        # under the block(s) its cell routes to; untrained cell -> anomaly
+        # under the block(s) its cell routes to; untrained cell -> anomaly.
+        # Cell geometry is route_hw (the extraction spec's), exactly like
+        # the offline paths (pipeline.py h_step = spec.frame_h / h_block) —
+        # routing by the live stream size would diverge from offline scores
+        # whenever the pushed frames differ from the spec's geometry
+        # (run_test explicitly supports such workspaces)
         fc = self.cfg.fore
-        H, W = self._ring.shape[1:3]
-        h_step, w_step = H / fc.h_block, W / fc.w_block
+        h_step = self.route_hw[0] / fc.h_block
+        w_step = self.route_hw[1] / fc.w_block
         best = None
         for k in np.nonzero(keep)[0]:
             b = boxes_pad[k]
