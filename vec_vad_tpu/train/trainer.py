@@ -317,8 +317,19 @@ class BlockTrainer:
         if resident is None:
             resident = not segments
 
+        dev0 = None  # device-resident (raw, of) buffers from the train scan
         if resident:
-            state = self._fit_resident(state, raw_inputs, of_inputs, rng, log_every)
+            state, raw_dev, of_dev = self._fit_resident(
+                state, raw_inputs, of_inputs, rng, log_every
+            )
+            # the score pass reuses the HBM cube buffer the train scan
+            # uploaded — re-uploading the same cubes costs seconds over a
+            # low-bandwidth link (jnp.asarray on a device array is a no-op).
+            # Only when the caller's cubes are already uint8: for float
+            # inputs the train buffer is quantized and scoring must keep
+            # seeing the original values
+            if raw_inputs.dtype == np.uint8:
+                dev0 = (raw_dev, of_dev if cfg.use_flow else None)
         else:
             for epoch in range(cfg.epochs):
                 for seg_raw, seg_of in all_segments:
@@ -338,7 +349,9 @@ class BlockTrainer:
                             )
 
         raw_scores, of_scores = [], []
-        for seg_raw, seg_of in all_segments:
+        for si, (seg_raw, seg_of) in enumerate(all_segments):
+            if si == 0 and dev0 is not None:
+                seg_raw, seg_of = dev0
             r, o = self.score_block(state, seg_raw, seg_of)
             raw_scores.append(r)
             of_scores.append(o)
@@ -351,11 +364,10 @@ class BlockTrainer:
             of_scores=of_sc,
         )
 
-    def _fit_resident(
-        self, state, raw_inputs, of_inputs, rng, log_every: int
-    ) -> BlockModelState:
+    def _fit_resident(self, state, raw_inputs, of_inputs, rng, log_every: int):
         """All epochs in one compiled lax.scan over a device-resident
-        cube buffer."""
+        cube buffer. Returns (state, raw_dev_u8, of_dev) — the uploaded
+        HBM buffers, so fit_block's score pass can reuse them."""
         cfg = self.cfg
         bsz = cfg.batch_size
         n = raw_inputs.shape[0]
@@ -385,10 +397,12 @@ class BlockTrainer:
             else np.zeros((1,) + raw_inputs.shape[1:-1] + (
                 self.net.tot_of_num * self.net.of_channels,), np.float32)
         )
+        raw_dev = jnp.asarray(raw_u8)
+        of_dev = jnp.asarray(of_buf)
         state, (loss_raw, loss_of) = self._train_scan(
             state,
-            jnp.asarray(raw_u8),
-            jnp.asarray(of_buf),
+            raw_dev,
+            of_dev,
             jnp.asarray(idx),
             jnp.asarray(wmask),
         )
@@ -397,7 +411,7 @@ class BlockTrainer:
             lo = np.asarray(loss_of)
             for s in range(0, lr.size, max(1, log_every)):
                 print(f"step {s}: raw {lr[s]:.5f} of {lo[s]:.5f}")
-        return state
+        return state, raw_dev, of_dev
 
     @staticmethod
     def _as_float_input(xb) -> jnp.ndarray:
