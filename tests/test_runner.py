@@ -128,3 +128,73 @@ def test_runner_end_to_end(tmp_path):
     arts = os.listdir(os.path.join(base, "data", "raw2flow"))
     assert sum(a.startswith("foreground_train") for a in arts) == 1
     assert sum(a.startswith("foreground_test") for a in arts) == 1
+
+
+def test_cli_explicit_config_must_exist(tmp_path):
+    """A typo'd --config path must raise, not silently train with the
+    built-in defaults (and overwrite artifacts under the default name).
+    The default 'config.cfg' may be absent (fresh-workspace convenience)."""
+    import argparse
+
+    from vec_vad_tpu.cli import _load_cfg
+
+    args = argparse.Namespace(
+        config=str(tmp_path / "nope.cfg"), dataset=None
+    )
+    with pytest.raises(FileNotFoundError, match="nope.cfg"):
+        _load_cfg(args)
+    # default name absent -> built-in defaults, no error
+    cfg = _load_cfg(argparse.Namespace(config="config.cfg", dataset=None))
+    assert cfg.dataset_name == "UCSDped2"
+
+
+def test_extraction_cache_invalidates_on_frame_change(tmp_path):
+    """Regenerated frames with unchanged boxes must NOT serve the stale
+    cube cache (the fingerprint includes frame provenance)."""
+    base = str(tmp_path)
+    ds_kw = dict(
+        root=os.path.join(base, "raw_datasets", "UCSDped2"),
+        frames_per_video=16, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, write_to_disk=True,
+    )
+    make_synthetic_dataset(seed=4, **ds_kw)
+    cfg_path = os.path.join(base, "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    cfg = load_ini_config(cfg_path)
+
+    # pin the boxes with a fixture file so ONLY the frames change between
+    # runs — the stale-cache bug needs identical boxes to manifest
+    from vec_vad_tpu.runner import load_split
+
+    data = load_split(cfg, base, "train")
+    arr = np.empty(len(data.boxes), dtype=object)
+    for i, b in enumerate(data.boxes):
+        arr[i] = np.asarray(b, np.float32).reshape(-1, 4)
+    np.save(
+        os.path.join(base, "raw_datasets", "UCSDped2",
+                     "bboxes_train_obj_det_with_motion.npy"),
+        arr, allow_pickle=True,
+    )
+
+    run_train(cfg, base)
+    arts = os.path.join(base, "data", "raw2flow")
+    n0 = sum(a.startswith("foreground_train") for a in os.listdir(arts))
+    assert n0 == 1
+
+    # re-render the frames (different seed => different pixels); keep the
+    # same tree. Bump mtimes to be newer even on coarse-mtime filesystems.
+    make_synthetic_dataset(seed=9, **ds_kw)
+    import glob
+    import time
+
+    t = time.time() + 10
+    for p in glob.glob(
+        os.path.join(base, "raw_datasets", "UCSDped2", "Train", "*", "*")
+    ):
+        os.utime(p, (t, t))
+    run_train(cfg, base)
+    n1 = sum(
+        a.startswith("foreground_train") for a in os.listdir(arts)
+    )
+    assert n1 == 2  # a second cube artifact: the cache missed as it must

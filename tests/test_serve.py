@@ -116,6 +116,55 @@ def test_streaming_matches_offline_flow():
     np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_flow_model_without_flow_matches_offline():
+    """flow=None on a flow-fusing model degrades exactly like the offline
+    pipeline run without a flow tree (pipeline.extract_cube_set with
+    flow_frames=None): zero flow cubes, motion filter bypassed — the serve
+    CLI hits this when no optical_flow/ dir exists in the workspace."""
+    from vec_vad_tpu.pipeline import frame_level_scores, score_cubes
+
+    ds = make_synthetic_dataset(
+        frames_per_video=14, n_train_videos=1, n_test_videos=2,
+        frame_h=48, frame_w=64, seed=18,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=8),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+        ),
+    )
+    tr_idx = VideoIndex(["v"], ds.train_video_lengths)
+    cubes = extract_cube_set(
+        cfg, SPEC, tr_idx, ds.train_frames, ds.train_boxes, flow_frames=None
+    )
+    trainer = make_trainer(cfg)
+    model = train_model(cfg, cubes, trainer=trainer)
+
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    tc = extract_cube_set(
+        cfg, SPEC, te_idx, ds.test_frames, ds.test_boxes, flow_frames=None,
+        block_mode=cfg.fore.test_block_mode,
+    )
+    offline = frame_level_scores(
+        score_cubes(model, tc, trainer=trainer), tc, te_idx.total_frames
+    )
+
+    streamed = _stream_scores(ds, cfg, model, te_idx)  # flow=None pushes
+    np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
+
+    # push_many degrades identically
+    scorer = StreamingScorer.from_model(model)
+    scorer.start_video()
+    n0 = int(ds.test_video_lengths[0])
+    many = scorer.push_many(
+        ds.test_frames[:n0], [ds.test_boxes[i] for i in range(n0)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(many, np.float32), offline[:n0], rtol=2e-4, atol=2e-4
+    )
+
+
 def test_streaming_edge_cases():
     ds, cfg, model = _train_tiny(use_flow=False, seed=14)
     scorer = StreamingScorer.from_model(model)

@@ -79,3 +79,60 @@ def test_resident_handles_partial_batches(rng):
     blk = trainer.fit_block(raw, None, seed=0, resident=True)
     assert blk.raw_scores.shape == (21,)
     assert np.isfinite(blk.raw_scores).all()
+
+
+def test_resident_rejects_streamed_segments(rng):
+    """resident=True trains on raw_inputs only — silently dropping streamed
+    segments would skew the z-normalization stats, so it must raise."""
+    import pytest
+
+    cfg = CompletionConfig(
+        nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=False
+    )
+    trainer = BlockTrainer(
+        make_completion_net(cfg), cfg, get_mesh(), patch_size=16
+    )
+    raw = rng.integers(0, 256, (16, 16, 16, 15)).astype(np.uint8)
+    with pytest.raises(ValueError, match="resident"):
+        trainer.fit_block(raw, None, segments=[(raw, None)], resident=True)
+    # default (resident=None) degrades to the stepwise path and works
+    blk = trainer.fit_block(raw, None, segments=[(raw, None)])
+    assert blk.raw_scores.shape == (32,)
+
+
+def test_train_model_float_cubes_stay_sequential(rng):
+    """Path auto-selection must not change the training statistics: float
+    cubes quantize in the grid trainer's uint8 scan buffers, so they route
+    through the sequential trainer (which scores them unquantized)."""
+    from vec_vad_tpu.config import ForegroundConfig, PipelineConfig
+    from vec_vad_tpu.pipeline import CubeSet, make_trainer, train_model
+
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=4,
+                              h_block=2, w_block=1),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=8, context_of_num=0, use_flow=False
+        ),
+    )
+    m = 24
+    cubes = CubeSet(
+        raw=rng.random((m, 16, 16, 15)).astype(np.float32),
+        flow=None,
+        frame_ids=np.arange(m),
+        boxes=np.tile(np.array([0, 0, 8, 8], np.float32), (m, 1)),
+        cells=np.stack(
+            [np.arange(m) % 2, np.zeros(m, np.int64)], axis=1
+        ),
+        scenes=np.ones(m, np.int64),
+    )
+    trainer = make_trainer(cfg)
+    auto = train_model(cfg, cubes, trainer=trainer, seed=3)
+    seq = train_model(
+        cfg, cubes, trainer=trainer, seed=3, parallel_blocks=False
+    )
+    assert sorted(auto.blocks) == sorted(seq.blocks) and len(auto.blocks) == 2
+    for k in auto.blocks:
+        np.testing.assert_array_equal(
+            auto.blocks[k].raw_scores, seq.blocks[k].raw_scores
+        )

@@ -23,6 +23,11 @@ from vec_vad_tpu.config import PipelineConfig, load_ini_config
 def _load_cfg(args) -> PipelineConfig:
     if args.config and os.path.exists(args.config):
         cfg = load_ini_config(args.config)
+    elif args.config and args.config != "config.cfg":
+        # an explicitly passed path must exist — silently training with
+        # built-in defaults after a typo'd --config overwrites artifacts
+        # with the wrong dataset/hyperparameters
+        raise FileNotFoundError(f"--config {args.config} does not exist")
     else:
         cfg = PipelineConfig()
     if getattr(args, "dataset", None):

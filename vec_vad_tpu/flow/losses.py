@@ -14,19 +14,34 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def epe(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Endpoint error: pred/target (B, H, W, 2)."""
-    return jnp.mean(
-        jnp.sqrt(jnp.sum(jnp.square(target - pred), axis=-1))
+def _batch_mean(x: jnp.ndarray, sample_weight) -> jnp.ndarray:
+    """Mean over all elements, or a weighted mean over the batch axis.
+
+    With sample_weight=None this equals jnp.mean(x) exactly (every sample
+    has the same element count). Weights exist for wrap-padded batches on
+    multi-device meshes: padded duplicate rows get weight 0 so they don't
+    bias the loss/EPE relative to the unpadded single-device run."""
+    if sample_weight is None:
+        return jnp.mean(x)
+    per = jnp.mean(x, axis=tuple(range(1, x.ndim)))
+    return jnp.sum(per * sample_weight) / jnp.maximum(
+        jnp.sum(sample_weight), 1.0
     )
 
 
-def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.abs(pred - target))
+def epe(pred: jnp.ndarray, target: jnp.ndarray, sample_weight=None) -> jnp.ndarray:
+    """Endpoint error: pred/target (B, H, W, 2)."""
+    return _batch_mean(
+        jnp.sqrt(jnp.sum(jnp.square(target - pred), axis=-1)), sample_weight
+    )
 
 
-def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    return epe(pred, target)  # the reference's "L2" is per-pixel norm mean
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray, sample_weight=None) -> jnp.ndarray:
+    return _batch_mean(jnp.abs(pred - target), sample_weight)
+
+
+def l2_loss(pred: jnp.ndarray, target: jnp.ndarray, sample_weight=None) -> jnp.ndarray:
+    return epe(pred, target, sample_weight)  # reference "L2" = per-pixel norm mean
 
 
 def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -40,8 +55,11 @@ def multiscale_loss(
     l_weight: float = 0.32,
     norm: str = "L1",
     div_flow: float = 0.05,
+    sample_weight=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(loss, epe) over the (flow2..flow6) pyramid vs a full-res target."""
+    """(loss, epe) over the (flow2..flow6) pyramid vs a full-res target.
+
+    sample_weight: optional (B,) per-sample weights (see _batch_mean)."""
     loss_fn = l1_loss if norm == "L1" else l2_loss
     target = div_flow * target
     loss = 0.0
@@ -49,6 +67,6 @@ def multiscale_loss(
     for i, pred in enumerate(flow_pyramid):
         w = l_weight / (2 ** i)
         t = _avg_pool(target, start_scale * (2 ** i))
-        loss = loss + w * loss_fn(pred, t)
-        epe_v = epe_v + w * epe(pred, t)
+        loss = loss + w * loss_fn(pred, t, sample_weight)
+        epe_v = epe_v + w * epe(pred, t, sample_weight)
     return loss, epe_v

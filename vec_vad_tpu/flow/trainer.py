@@ -60,14 +60,16 @@ class FlowTrainer:
         rep = replicated_sharding(self.mesh) if multi else None
         dat = data_sharding(self.mesh) if multi else None
 
-        def loss_fn(params, pairs, target):
+        def loss_fn(params, pairs, target, w):
             pyramid = net.apply({"params": params}, pairs, True)
-            loss, epe_v = multiscale_loss(pyramid, target, norm=norm)
+            loss, epe_v = multiscale_loss(
+                pyramid, target, norm=norm, sample_weight=w
+            )
             return loss, epe_v
 
-        def train_step(state: FlowTrainState, pairs, target):
+        def train_step(state: FlowTrainState, pairs, target, w):
             (loss, epe_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, pairs, target
+                state.params, pairs, target, w
             )
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -79,7 +81,7 @@ class FlowTrainer:
         if multi:
             self._train_step = jax.jit(
                 train_step,
-                in_shardings=(rep, dat, dat),
+                in_shardings=(rep, dat, dat, dat),
                 out_shardings=(rep, rep),
                 donate_argnums=(0,),
             )
@@ -104,9 +106,13 @@ class FlowTrainer:
     ) -> Tuple[FlowTrainState, dict]:
         from vec_vad_tpu.parallel.mesh import pad_to_multiple
 
-        (pairs, target), _ = pad_to_multiple(
+        # the pad mask zero-weights wrapped duplicate rows so the loss/EPE
+        # match the unpadded single-device run exactly (BlockTrainer
+        # threads its pad mask for the same reason)
+        (pairs, target), mask = pad_to_multiple(
             [np.asarray(pairs), np.asarray(target)], self._n_devices
         )
         return self._train_step(
-            state, jnp.asarray(pairs), jnp.asarray(target)
+            state, jnp.asarray(pairs), jnp.asarray(target),
+            jnp.asarray(mask, jnp.float32),
         )

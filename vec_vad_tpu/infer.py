@@ -40,32 +40,14 @@ def _resident_fns(
     compute_dtype,
 ):
     """Compiled phase functions for the resident path, cached so repeated
-    calls (and the warmup) reuse one executable per configuration."""
+    calls (and the warmup) reuse one executable per configuration.
 
-    @jax.jit
-    def extract_all(fd, wins, boxes):
-        def one_chunk(args):
-            w, b = args
-            wd = jnp.take(fd, w, axis=0)
-            cubes = jax.vmap(
-                lambda ww, bb: extract_stc(ww, bb, P, quantize=True)
-            )(wd, b)
-            return cube_to_input(cubes, scale=False).astype(jnp.uint8)
+    The extraction executables are pipeline._resident_extract_fns' — the
+    train- and test-side resident paths run the SAME extract programs, so
+    sharing the cache means a train+test run compiles them once."""
+    from vec_vad_tpu.pipeline import _resident_extract_fns
 
-        return jax.lax.map(one_chunk, (wins, boxes))
-
-    @jax.jit
-    def extract_all_flow(fd, wins, boxes):
-        def one_chunk(args):
-            w, b = args
-            wd = jnp.take(fd, w, axis=0)
-            cubes = jax.vmap(
-                lambda ww, bb: extract_stc(ww, bb, P, quantize=False)
-            )(wd, b)
-            mag = flow_magnitude(cubes)
-            return cube_to_input(cubes, scale=False), mag
-
-        return jax.lax.map(one_chunk, (wins, boxes))
+    extract_all, extract_all_flow, _ = _resident_extract_fns(P)
 
     @jax.jit
     def score_all(v, stats, cubes, flows, idx):
@@ -438,10 +420,18 @@ def infer_frame_scores(
     if flow is not None:
         footprint += float(np.prod(flow.shape)) * 4.0
     if footprint > device_memory_budget_bytes:
+        # derive a segment size that itself respects the budget — the
+        # 4096-frame default at avenue/SHT geometry (frames + flow + cube
+        # buffers) would exceed HBM on exactly the inputs that trigger
+        # this route. x2 headroom covers the per-segment cube buffers and
+        # XLA workspace on top of the frame/flow upload.
+        per_frame = footprint / max(frames.shape[0], 1)
+        seg = int(device_memory_budget_bytes / (2.0 * per_frame))
+        seg = max(32, min(4096, seg // 32 * 32))
         return infer_frame_scores_segmented(
             cfg, variables, stats, frames, windows, boxes_pad, valid,
             flow=flow, of_windows=of_windows, net=net,
-            compute_dtype=compute_dtype,
+            segment_frames=seg, compute_dtype=compute_dtype,
         )
     net = net or make_completion_net(mc)
     fn = make_score_chunk_fn(

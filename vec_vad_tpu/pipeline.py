@@ -481,8 +481,15 @@ def train_model(
     seg = cfg.fore.save_seg_num
     eligible = {k: v for k, v in groups.items() if v.size > 1}
     if parallel_blocks is None:
-        parallel_blocks = len(eligible) > 1 and all(
-            v.size <= seg for v in eligible.values()
+        # auto-select only for uint8 cubes (the whole real pipeline): the
+        # grid trainer's scan buffers are uint8, so float cubes would be
+        # quantized and their training-score stats would shift ~4% vs the
+        # sequential trainer, which scores float inputs unquantized —
+        # path choice must not change the statistics
+        parallel_blocks = (
+            train_cubes.raw.dtype == np.uint8
+            and len(eligible) > 1
+            and all(v.size <= seg for v in eligible.values())
         )
 
     if parallel_blocks and eligible:

@@ -128,10 +128,23 @@ def _extract_cached(
         np.concatenate([np.asarray(b, np.float64).reshape(-1) for b in data.boxes])
         if data.boxes else np.zeros(0)
     )
+    # Frame PROVENANCE too: regenerated/re-decoded frames with unchanged
+    # boxes would otherwise serve cubes extracted from the old pixels.
+    # Cheap stat()-level signature (path, size, mtime) for on-disk trees;
+    # a strided content sample for in-memory arrays.
+    if data.index.frame_paths is not None:
+        frames_sig = [
+            (p, os.path.getsize(p), os.path.getmtime(p))
+            for p in data.index.frame_paths
+        ]
+    else:
+        arr = np.asarray(data.frames)
+        frames_sig = [str(arr.shape), str(arr.dtype),
+                      arr.reshape(-1)[:: max(1, arr.size // 65536)].copy()]
     fp = fingerprint(
         cfg.fore, cfg.model.context_frame_num, cfg.model.context_of_num,
         cfg.model.border_mode, split, block_mode, data.index.total_frames,
-        boxes_blob, data.flow is not None,
+        boxes_blob, data.flow is not None, frames_sig,
     )
 
     def compute():

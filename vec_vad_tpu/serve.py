@@ -162,9 +162,19 @@ class StreamingScorer:
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
             *[blocks[k][0] for k in self._keys],
         )
+        # stats rows are (mu_r, sd_r, mu_o, sd_o, of_on); a 4-tuple means
+        # of_on=1. of_on=0 marks a block trained WITHOUT a flow stream
+        # (TrainedBlock.of_stats is None) — its score is raw-only, matching
+        # the offline fuse_scores(..., of_stats=None) degradation exactly.
         self._stats = jnp.asarray(
-            np.array([blocks[k][1] for k in self._keys], np.float32)
-        )  # (B, 4)
+            np.array(
+                [
+                    tuple(blocks[k][1]) + (1.0,) * (5 - len(blocks[k][1]))
+                    for k in self._keys
+                ],
+                np.float32,
+            )
+        )  # (B, 5)
 
         # rings allocate lazily on the first push (frame geometry comes
         # from the stream, not the config's dataset table)
@@ -192,7 +202,7 @@ class StreamingScorer:
             mu_o, sd_o = of if of is not None else (0.0, 1.0)
             return (
                 {"params": blk.params, "batch_stats": blk.batch_stats},
-                (mu_r, sd_r, mu_o, sd_o),
+                (mu_r, sd_r, mu_o, sd_o, 0.0 if of is None else 1.0),
             )
 
         keys = [key] if key is not None else sorted(model.blocks)
@@ -253,7 +263,9 @@ class StreamingScorer:
                 if use_flow and out.of_out is not None:
                     oerr = (out.of_out - out.of_tgt).astype(jnp.float32)
                     osc = jnp.sum(jnp.square(oerr), axis=(0, 2, 3, 4))
-                    score = score + w_of * (osc - st[2]) / st[3]
+                    # st[4] gates blocks trained without a flow stream
+                    # (of_stats None) down to raw-only fusion
+                    score = score + st[4] * w_of * (osc - st[2]) / st[3]
                 return score
 
             scores = jax.vmap(block_scores)(variables, stats)  # (B, K)
@@ -308,9 +320,13 @@ class StreamingScorer:
         a causal flow(t-1 -> t)).
 
         Returns the frame's score; with pipeline_depth=d, returns the score
-        of the frame pushed d calls ago (None while the pipeline fills)."""
-        if self.use_flow and flow is None:
-            raise ValueError("model fuses the flow stream; pass flow=")
+        of the frame pushed d calls ago (None while the pipeline fills).
+
+        For a flow-fusing model, flow=None degrades exactly like the
+        offline pipeline run without a flow tree (pipeline.extract_cube_set
+        with flow_frames=None): the flow stream scores zero cubes and the
+        motion-magnitude filter is bypassed (the offline path's 10000.0
+        sentinel)."""
         frame = np.asarray(frame, np.uint8)
         if self.gray_stream:
             if frame.ndim == 3:
@@ -329,10 +345,15 @@ class StreamingScorer:
 
         slot = self._n_pushed % self.R
         win = (self._v0 + _predict_window(pos, self.ctx)) % self.R
+        skip_mag = False
         if self.use_flow:
             of_slot = self._n_pushed % self.R_of
             owin = (self._v0 + _predict_window(pos, self.ctx_of)) % self.R_of
-            flow_in = np.asarray(flow, np.float32)
+            if flow is None:
+                flow_in = np.zeros(frame.shape[:2] + (2,), np.float32)
+                skip_mag = True
+            else:
+                flow_in = np.asarray(flow, np.float32)
         else:
             of_slot = 0
             owin = np.zeros(self.R_of, np.int64)
@@ -356,7 +377,7 @@ class StreamingScorer:
             self._stats,
         )
         self._n_pushed += 1
-        self._pending.append((out, boxes_pad, nb, self._scene))
+        self._pending.append((out, boxes_pad, nb, self._scene, skip_mag))
         if len(self._pending) <= self.pipeline_depth:
             return None  # pipeline still filling
         return self._finish(*self._pending.popleft())
@@ -375,11 +396,12 @@ class StreamingScorer:
         calls; the program compiles once per distinct k. All k frames
         must belong to the current video (call start_video between
         batches at video boundaries). Pipelined push() results still in
-        flight are unaffected (drain() them separately)."""
+        flight are unaffected (drain() them separately). flows=None on a
+        flow-fusing model degrades like push(flow=None): zero flow cubes,
+        motion filter bypassed."""
         frames = np.asarray(frames, np.uint8)
         k = frames.shape[0]
-        if self.use_flow and flows is None:
-            raise ValueError("model fuses the flow stream; pass flows=")
+        skip_mag = self.use_flow and flows is None  # offline no-flow-tree
         if self.gray_stream and frames.ndim == 4:
             frames = frames[..., 0]
         self._ensure_rings(*frames.shape[1:3])
@@ -404,10 +426,12 @@ class StreamingScorer:
                 ctrls[j, 2 + self.R :] = (
                     self._v0 + _predict_window(pos, self.ctx_of)
                 ) % self.R_of
-        if self.use_flow:
-            flow_in = np.asarray(flows, np.float32)
-        else:
+        if not self.use_flow:
             flow_in = np.zeros((k, 1, 1, 2), np.float32)
+        elif flows is None:
+            flow_in = np.zeros((k,) + frames.shape[1:3] + (2,), np.float32)
+        else:
+            flow_in = np.asarray(flows, np.float32)
 
         self._ring, self._flow_ring, outs = self._step_many(
             self._ring, self._flow_ring, frames, flow_in, ctrls,
@@ -416,7 +440,7 @@ class StreamingScorer:
         self._n_pushed += k
         outs = np.asarray(outs)  # one download for all k frames
         return [
-            self._finish(outs[j], boxes_pad[j], nbs[j], self._scene)
+            self._finish(outs[j], boxes_pad[j], nbs[j], self._scene, skip_mag)
             for j in range(k)
         ]
 
@@ -438,7 +462,7 @@ class StreamingScorer:
         self._pending.clear()
         return out
 
-    def _finish(self, out, boxes_pad, nb, scene) -> float:
+    def _finish(self, out, boxes_pad, nb, scene, skip_mag=False) -> float:
         out = np.asarray(out)  # the single forced download
         smat = out[: self.B * self.K].reshape(self.B, self.K)
         mag = out[self.B * self.K :]
@@ -446,7 +470,7 @@ class StreamingScorer:
         keep = np.zeros(self.K, bool)
         keep[:nb] = True
         keep &= ~degenerate_boxes(boxes_pad)
-        if self.use_flow:
+        if self.use_flow and not skip_mag:
             keep &= mag > self.cfg.fore.motion_thr
 
         # host-side grid routing (test.py:282-310): each kept box scores

@@ -316,6 +316,14 @@ class BlockTrainer:
         all_segments = [(raw_inputs, of_inputs)] + (segments or [])
         if resident is None:
             resident = not segments
+        elif resident and segments:
+            # the resident scan trains on raw_inputs only — silently
+            # skipping the streamed segments would still score them below
+            # and skew the z-normalization stats
+            raise ValueError(
+                "resident=True cannot stream extra segments; pass "
+                "resident=False (or concatenate the segments)"
+            )
 
         dev0 = None  # device-resident (raw, of) buffers from the train scan
         if resident:
