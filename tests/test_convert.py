@@ -24,7 +24,7 @@ from vec_vad_tpu.models.completion_convert import (  # noqa: E402
 REF = "/root/reference"
 
 
-def _load_reference_net4(nf, tot_of):
+def _load_reference_net4(nf, tot_of, padding=False):
     """Import the reference model/unet.py as a test oracle (read-only)."""
     if not os.path.exists(os.path.join(REF, "model", "unet.py")):
         pytest.skip("reference not mounted")
@@ -36,17 +36,24 @@ def _load_reference_net4(nf, tot_of):
     cls = SelfCompleteNet4 if tot_of == 1 else SelfCompleteNetFull
     return cls(
         features_root=nf, tot_raw_num=5, tot_of_num=tot_of,
-        border_mode="predict", rawRange=None, useFlow=True, padding=False,
+        border_mode="predict", rawRange=None, useFlow=True, padding=padding,
     )
 
 
-@pytest.mark.parametrize("tot_of", [1, 5])
-def test_forward_parity_with_reference_torch_model(rng, tot_of):
+@pytest.mark.parametrize(
+    "tot_of,padding", [(1, False), (5, False), (1, True)]
+)
+def test_forward_parity_with_reference_torch_model(rng, tot_of, padding):
+    """padding=True is the zero-fill erase mode (unet.py:180-182): the
+    UNet input keeps all 5 frames' channels (15) with the erased frame
+    zeroed, vs the channel-drop 12-channel default."""
     nf = 4
-    ref = _load_reference_net4(nf, tot_of).eval()
+    ref = _load_reference_net4(nf, tot_of, padding).eval()
     sd = {k: np.asarray(v.numpy()) for k, v in ref.state_dict().items()}
 
-    cfg = CompletionConfig(nf=nf, context_of_num=0 if tot_of == 1 else 4)
+    cfg = CompletionConfig(
+        nf=nf, context_of_num=0 if tot_of == 1 else 4, padding=padding
+    )
     net = make_completion_net(cfg)
     variables = convert_completion_state_dict(sd, net)
 
