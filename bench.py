@@ -67,18 +67,28 @@ def pallas_correlation_check() -> dict:
             best = min(best, (time.perf_counter() - t0) * 1000.0 / K)
         return best
 
+    # independent try blocks so a failure on one side still records the
+    # other's timing (distinguishes "Pallas broken, einsum fine" from
+    # "both broken" in the bench record; -1.0 marks the failed side)
+    out = {}
+    try:
+        ga_r, gb_r = f(a, b, False)
+        out["jnp_correlation_ms"] = round(timed(False), 2)
+    except Exception:
+        ga_r = gb_r = None
+        out["jnp_correlation_ms"] = -1.0
     try:
         ga_p, gb_p = f(a, b, True)
-        ga_r, gb_r = f(a, b, False)
-        ok = bool(
-            np.allclose(np.asarray(ga_p), np.asarray(ga_r), atol=1e-3)
+        out["pallas_correlation_ok"] = bool(
+            ga_r is not None
+            and np.allclose(np.asarray(ga_p), np.asarray(ga_r), atol=1e-3)
             and np.allclose(np.asarray(gb_p), np.asarray(gb_r), atol=1e-3)
         )
-        return {"pallas_correlation_ok": ok,
-                "pallas_correlation_ms": round(timed(True), 2),
-                "jnp_correlation_ms": round(timed(False), 2)}
+        out["pallas_correlation_ms"] = round(timed(True), 2)
     except Exception:
-        return {"pallas_correlation_ok": False, "pallas_correlation_ms": -1.0}
+        out["pallas_correlation_ok"] = False
+        out["pallas_correlation_ms"] = -1.0
+    return out
 
 
 def main() -> None:

@@ -132,20 +132,29 @@ def test_runner_end_to_end(tmp_path):
 
 def test_cli_explicit_config_must_exist(tmp_path):
     """A typo'd --config path must raise, not silently train with the
-    built-in defaults (and overwrite artifacts under the default name).
-    The default 'config.cfg' may be absent (fresh-workspace convenience)."""
+    built-in defaults (and overwrite artifacts under the default name) —
+    including the literal 'config.cfg' typed explicitly from the wrong
+    directory. The no-flag default (None) falls back to ./config.cfg if
+    present, else built-in defaults."""
     import argparse
 
     from vec_vad_tpu.cli import _load_cfg
 
-    args = argparse.Namespace(
-        config=str(tmp_path / "nope.cfg"), dataset=None
-    )
-    with pytest.raises(FileNotFoundError, match="nope.cfg"):
-        _load_cfg(args)
-    # default name absent -> built-in defaults, no error
-    cfg = _load_cfg(argparse.Namespace(config="config.cfg", dataset=None))
+    for path in [str(tmp_path / "nope.cfg"), "config.cfg"]:
+        with pytest.raises(FileNotFoundError, match=path):
+            _load_cfg(argparse.Namespace(config=path, dataset=None))
+    # no flag, no ./config.cfg -> built-in defaults, no error
+    cfg = _load_cfg(argparse.Namespace(config=None, dataset=None))
     assert cfg.dataset_name == "UCSDped2"
+    # no flag WITH a ./config.cfg in cwd -> the convenience fallback loads it
+    (tmp_path / "config.cfg").write_text(CFG.replace("UCSDped2", "avenue"))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = _load_cfg(argparse.Namespace(config=None, dataset=None))
+    finally:
+        os.chdir(cwd)
+    assert cfg.dataset_name == "avenue"
 
 
 def test_extraction_cache_invalidates_on_frame_change(tmp_path):

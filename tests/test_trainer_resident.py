@@ -136,3 +136,20 @@ def test_train_model_float_cubes_stay_sequential(rng):
         np.testing.assert_array_equal(
             auto.blocks[k].raw_scores, seq.blocks[k].raw_scores
         )
+
+    # the TEST side must apply the same guard: score_cubes on float cubes
+    # must never touch the uint8-buffered grid scorer
+    import vec_vad_tpu.train.grid_trainer as gt_mod
+    from vec_vad_tpu.pipeline import score_cubes
+
+    real = gt_mod.get_grid_trainer
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("float cubes routed to the grid scorer")
+
+    gt_mod.get_grid_trainer = boom
+    try:
+        sc = score_cubes(auto, cubes, trainer=trainer)
+    finally:
+        gt_mod.get_grid_trainer = real
+    assert np.isfinite(sc).all()

@@ -21,13 +21,16 @@ from vec_vad_tpu.config import PipelineConfig, load_ini_config
 
 
 def _load_cfg(args) -> PipelineConfig:
-    if args.config and os.path.exists(args.config):
-        cfg = load_ini_config(args.config)
-    elif args.config and args.config != "config.cfg":
+    if args.config:
         # an explicitly passed path must exist — silently training with
         # built-in defaults after a typo'd --config overwrites artifacts
-        # with the wrong dataset/hyperparameters
-        raise FileNotFoundError(f"--config {args.config} does not exist")
+        # with the wrong dataset/hyperparameters. (The no-flag convenience
+        # fallback is handled below: args.config defaults to None.)
+        if not os.path.exists(args.config):
+            raise FileNotFoundError(f"--config {args.config} does not exist")
+        cfg = load_ini_config(args.config)
+    elif os.path.exists("config.cfg"):
+        cfg = load_ini_config("config.cfg")
     else:
         cfg = PipelineConfig()
     if getattr(args, "dataset", None):
@@ -36,7 +39,10 @@ def _load_cfg(args) -> PipelineConfig:
 
 
 def _add_common(p):
-    p.add_argument("--config", default="config.cfg", help="INI config path")
+    p.add_argument(
+        "--config", default=None,
+        help="INI config path (default: ./config.cfg if present)",
+    )
     p.add_argument("--base", default=".", help="base dir holding raw_datasets/")
     p.add_argument("--dataset", default=None, help="override dataset_name")
 

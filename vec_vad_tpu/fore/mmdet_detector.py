@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vec_vad_tpu.fore.mmdet_import import BackboneFPN
+from vec_vad_tpu.fore.mmdet_import import BackboneFPN, _conv_hwio, _np
 
 ANCHOR_RATIOS = (0.5, 1.0, 2.0)
 ANCHOR_SCALES = (8.0,)
@@ -326,14 +326,13 @@ def cascade_detect(variables, img, img_hw, *, net: BackboneFPN,
 # ---------------------------------------------------------------------------
 
 
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+# tensor/layout helpers (_np, _conv_hwio) are shared with the backbone
+# converter in mmdet_import so a dtype or layout fix there (e.g. bf16
+# checkpoints) covers the head path too
 
 
 def _conv(sd, key):
-    return {"kernel": _np(sd[key + ".weight"]).transpose(2, 3, 1, 0),
+    return {"kernel": _conv_hwio(sd[key + ".weight"]),
             "bias": _np(sd[key + ".bias"])}
 
 

@@ -576,7 +576,10 @@ def score_cubes(
             # (test.py:308-310)
             scores[idx] = big_number
 
-    if len(trained) > 1:
+    # same dtype guard as train_model's auto-selection: the grid scorer's
+    # scan buffers are uint8, so float cubes would be quantized and shift
+    # ~4% vs the training-score stats computed on unquantized inputs
+    if len(trained) > 1 and test_cubes.raw.dtype == np.uint8:
         from vec_vad_tpu.train.grid_trainer import get_grid_trainer
 
         gt = get_grid_trainer(trainer.net, mc, trainer.mesh, cfg.fore.patch_size)
