@@ -239,6 +239,39 @@ def main() -> None:
     dt = time.perf_counter() - t0
     record["streaming_batch8_fps"] = round(nb * kb / dt, 1)
 
+    # (d) fleet serving (MultiCameraScorer, 8 concurrent cameras): one
+    # device call per tick scores one frame from EVERY camera — the
+    # per-frame step vmapped over the camera axis, so the ensemble convs
+    # see an 8x batch (vs push_many's sequential scan) and the link pays
+    # one round trip per 8 frames with NO added buffering latency
+    from vec_vad_tpu.serve import MultiCameraScorer
+
+    ncam = 8
+    mcs = MultiCameraScorer(
+        cfg, variables, stats, n_cameras=ncam, pipeline_depth=2, **kw
+    )
+    mcs.start_video()
+
+    def tick(i):
+        # each camera streams a different region of the fixture split
+        return mcs.push_tick(
+            np.stack([gray[(i + c * 211) % n, ..., 0] for c in range(ncam)]),
+            [boxes_list[(i + c * 211) % n] for c in range(ncam)],
+        )
+
+    got = 0
+    for i in range(3):  # warmup (compile + fill the 2-tick pipeline)
+        if tick(i) is not None:
+            got += 1
+    nt = n_meas // ncam
+    t0 = time.perf_counter()
+    for i in range(nt):
+        if tick(3 + i) is not None:
+            got += 1
+    dt = time.perf_counter() - t0
+    assert got + len(mcs.drain()) == 3 + nt
+    record["streaming_cam8_fps"] = round(nt * ncam / dt, 1)
+
     # Training throughput: one flagship block (2048 cubes, the configured
     # 10 epochs at batch 128 = 160 optimizer steps) through the public
     # fit_block surface — whole-run device-resident lax.scan + the

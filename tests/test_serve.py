@@ -165,6 +165,79 @@ def test_streaming_flow_model_without_flow_matches_offline():
     )
 
 
+def test_multicamera_matches_single():
+    """MultiCameraScorer's one-call-per-tick fleet step must score each
+    camera exactly like an independent StreamingScorer driven with the
+    same stream — including staggered per-camera video boundaries."""
+    from vec_vad_tpu.serve import MultiCameraScorer
+
+    ds, cfg, model = _train_tiny(use_flow=True, seed=21)
+    frames = ds.test_frames
+    flow = _pseudo_flow(frames)
+    n = frames.shape[0]
+    C = 3
+
+    # three independent per-camera streams over one tick axis:
+    #   cam 0: the split in order, new video at the real boundary
+    #   cam 1: the split reversed, one long video
+    #   cam 2: in order, video boundary at tick 5 (staggered vs cam 0)
+    l0 = int(ds.test_video_lengths[0])
+    cam_frames = [frames, frames[::-1], frames]
+    cam_boxes = [ds.test_boxes, list(ds.test_boxes)[::-1], ds.test_boxes]
+    cam_flow = [flow, flow[::-1], flow]
+    cam_bounds = [{0, l0}, {0}, {0, 5}]
+
+    want = []
+    for c in range(C):
+        sc = StreamingScorer.from_model(model)
+        outs = []
+        for t in range(n):
+            if t in cam_bounds[c]:
+                sc.start_video()
+            outs.append(
+                sc.push(cam_frames[c][t], cam_boxes[c][t], flow=cam_flow[c][t])
+            )
+        want.append(outs)
+    want = np.asarray(want, np.float32)  # (C, n)
+
+    mc = MultiCameraScorer.from_model(model, n_cameras=C)
+    got = np.zeros((C, n), np.float32)
+    for t in range(n):
+        for c in range(C):
+            if t in cam_bounds[c]:
+                mc.start_video(camera=c)
+        got[:, t] = mc.push_tick(
+            np.stack([cam_frames[c][t] for c in range(C)]),
+            [cam_boxes[c][t] for c in range(C)],
+            flows=np.stack([cam_flow[c][t] for c in range(C)]),
+        )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # single-stream entry points are disabled on the fleet scorer
+    with pytest.raises(NotImplementedError):
+        mc.push(frames[0], ds.test_boxes[0])
+
+    # pipelined ticks: identical scores, emitted one tick late
+    T = 6
+    mcp = MultiCameraScorer.from_model(model, n_cameras=C, pipeline_depth=1)
+    mcp.start_video()  # all cameras, one video
+    outs = []
+    for t in range(T):
+        r = mcp.push_tick(
+            np.stack([frames[t]] * C), [ds.test_boxes[t]] * C,
+            flows=np.stack([flow[t]] * C),
+        )
+        outs.append(r)
+    assert outs[0] is None
+    tail = mcp.drain()
+    assert len(tail) == 1
+    emitted = np.asarray(outs[1:] + tail, np.float32)  # (T, C)
+    for c in range(C):
+        np.testing.assert_allclose(
+            emitted[:, c], want[0, :T], rtol=2e-4, atol=2e-4
+        )
+
+
 def test_streaming_edge_cases():
     ds, cfg, model = _train_tiny(use_flow=False, seed=14)
     scorer = StreamingScorer.from_model(model)
