@@ -107,6 +107,7 @@ class StreamingScorer:
         pipeline_depth: int = 0,
         gray_stream: bool = False,
         route_hw: Optional[Tuple[int, int]] = None,
+        pack_weights: bool = True,
     ):
         """Single-block form: (variables, stats) serve every box (a 1x1
         grid at block key (0, 0, 0)). Grid form: pass `blocks` mapping
@@ -134,6 +135,14 @@ class StreamingScorer:
         by spec.frame_h / h_block). Defaults to the config table's
         dataset geometry — correct for every runner/CLI workflow; pass it
         explicitly when extraction used a custom DatasetSpec.
+
+        pack_weights: marshal the block weights + stats table into the
+        jitted step as ONE flat f32 buffer instead of a ~100-leaf pytree
+        (the flagship grid is 93 leaves). The remote relay pays a per-
+        argument-handle marshaling cost on every call, so leaf count sits
+        directly on the per-frame dispatch floor; unpacking inside the jit
+        is static slicing XLA folds away. Scores are bit-identical either
+        way. Auto-disabled when any weight leaf is not float32.
         """
         mc = cfg.model
         if mc.border_mode != "predict":
@@ -181,6 +190,22 @@ class StreamingScorer:
             )
         )  # (B, 5)
 
+        # one-buffer weight marshaling (see __init__ docstring): flatten
+        # every stacked leaf + the stats table into a single device array;
+        # the jitted steps rebuild the pytree with static slices
+        leaves, self._wtree = jax.tree_util.tree_flatten(self._vars)
+        if pack_weights and all(l.dtype == jnp.float32 for l in leaves):
+            self._wshapes = [l.shape for l in leaves]
+            self._weight_args = (
+                jnp.concatenate(
+                    [jnp.ravel(l) for l in leaves]
+                    + [jnp.ravel(self._stats)]
+                ),
+            )
+        else:
+            self._wshapes = None
+            self._weight_args = (self._vars, self._stats)
+
         # rings allocate lazily on the first push (frame geometry comes
         # from the stream, not the config's dataset table)
         self._ring = None
@@ -215,6 +240,23 @@ class StreamingScorer:
         return cls(model.cfg, None, None, blocks=blocks, **kw)
 
     # -- the jitted per-frame step --------------------------------------
+
+    def _unweight(self, weights):
+        """Rebuild (variables, stats) from the step's trailing weight args:
+        either the packed single buffer or the (pytree, stats) pair.
+        Pure structure manipulation — runs under trace; the slices have
+        static offsets so XLA sees plain reshapes."""
+        if self._wshapes is None:
+            variables, stats = weights
+            return variables, stats
+        (packed,) = weights
+        leaves, o = [], 0
+        for shp in self._wshapes:
+            sz = int(np.prod(shp))
+            leaves.append(packed[o : o + sz].reshape(shp))
+            o += sz
+        variables = jax.tree_util.tree_unflatten(self._wtree, leaves)
+        return variables, packed[o:].reshape(self.B, 5)
 
     def _build_step(self):
         net, P, K = self.net, self.P, self.K
@@ -278,15 +320,22 @@ class StreamingScorer:
             # (scores and mag separately would each pay a tunnel round trip)
             return ring, flow_ring, jnp.concatenate([scores.reshape(-1), mag])
 
-        self._one = one  # reused by MultiCameraScorer's vmapped tick step
-        step = partial(jax.jit, donate_argnums=(0, 1))(one)
+        self._one = one  # reused by MultiCameraScorer's scanned tick step
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(ring, flow_ring, frame, flow_map, ctrl, boxes, *weights):
+            variables, stats = self._unweight(weights)
+            return one(ring, flow_ring, frame, flow_map, ctrl, boxes,
+                       variables, stats)
 
         # micro-batched variant: ONE device call scores k frames (a scan
         # threading the rings), amortizing the per-call relay round trip
         # k-fold — the high-throughput serving mode for high-RTT links
         @partial(jax.jit, donate_argnums=(0, 1))
         def step_many(ring, flow_ring, frames, flow_maps, ctrls,
-                      boxes, variables, stats):
+                      boxes, *weights):
+            variables, stats = self._unweight(weights)
+
             def body(carry, xs):
                 r, fr = carry
                 f, fm, c, b = xs
@@ -379,8 +428,7 @@ class StreamingScorer:
             flow_in,
             ctrl,
             boxes_pad,
-            self._vars,
-            self._stats,
+            *self._weight_args,
         )
         self._n_pushed += 1
         self._pending.append((out, boxes_pad, nb, self._scene, skip_mag))
@@ -441,7 +489,7 @@ class StreamingScorer:
 
         self._ring, self._flow_ring, outs = self._step_many(
             self._ring, self._flow_ring, frames, flow_in, ctrls,
-            boxes_pad, self._vars, self._stats,
+            boxes_pad, *self._weight_args,
         )
         self._n_pushed += k
         outs = np.asarray(outs)  # one download for all k frames
@@ -558,7 +606,9 @@ class MultiCameraScorer(StreamingScorer):
         # crop-resize einsums into a far slower fused form.
         @partial(jax.jit, donate_argnums=(0, 1))
         def step_tick(ring, flow_ring, frames, flow_maps, ctrls,
-                      boxes, variables, stats):
+                      boxes, *weights):
+            variables, stats = self._unweight(weights)
+
             def body(_, xs):
                 r, fr, f, fm, c, b = xs
                 r, fr, out = one(r, fr, f, fm, c, b, variables, stats)
@@ -653,7 +703,7 @@ class MultiCameraScorer(StreamingScorer):
 
         self._ring, self._flow_ring, outs = self._step_tick(
             self._ring, self._flow_ring, frames, flow_in, ctrls,
-            boxes_pad, self._vars, self._stats,
+            boxes_pad, *self._weight_args,
         )
         self._tick += 1
         self._pending.append(
