@@ -207,3 +207,50 @@ def test_extraction_cache_invalidates_on_frame_change(tmp_path):
         a.startswith("foreground_train") for a in os.listdir(arts)
     )
     assert n1 == 2  # a second cube artifact: the cache missed as it must
+
+
+def test_cli_export_torch(tmp_path):
+    """`export-torch` writes the reference's three torch artifacts from
+    the trained .npz model; the model grid strict-loads into the actual
+    reference torch module (full interop chain through the CLI surface)."""
+    torch = pytest.importorskip("torch")
+    base = str(tmp_path)
+    make_synthetic_dataset(
+        root=os.path.join(base, "raw_datasets", "UCSDped2"),
+        frames_per_video=16, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=9, write_to_disk=True,
+    )
+    cfg_path = os.path.join(base, "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.replace("epochs = 2", "epochs = 1"))
+    cfg = load_ini_config(cfg_path)
+    run_train(cfg, base)
+
+    from vec_vad_tpu.cli import main
+
+    out = os.path.join(base, "torch_export")
+    rc = main(["export-torch", "--config", cfg_path, "--base", base,
+               "--out", out])
+    assert rc == 0
+    ms = torch.load(
+        os.path.join(
+            out, "UCSDped2_model_obj_det_with_motion_SelfComplete.npy"
+        ),
+        weights_only=False,
+    )
+    sds = [c[0] for row in ms for c in row if c]
+    assert sds, "no trained blocks exported"
+    if os.path.exists("/root/reference/model/unet.py"):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            from model.unet import SelfCompleteNet4
+        finally:
+            sys.path.pop(0)
+        ref = torch.nn.DataParallel(SelfCompleteNet4(
+            features_root=4, tot_raw_num=5, tot_of_num=1,
+            border_mode="predict", rawRange=None, useFlow=False,
+            padding=False,
+        ))
+        ref.load_state_dict(sds[0], strict=True)

@@ -149,6 +149,29 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_export_torch(args) -> int:
+    """Export the trained model grid to the reference's torch artifact
+    set (model_set + raw/of training-score grids, train.py:432-436
+    naming/format) so the unmodified reference test.py can score with a
+    model trained here (completion_export.py; reverse of the released-
+    checkpoint importer)."""
+    from vec_vad_tpu.models.completion_export import export_model_grid
+    from vec_vad_tpu.runtime.artifacts import load_vad_model
+
+    cfg = _load_cfg(args)
+    model_path = os.path.join(
+        args.base, cfg.data_root_dir, cfg.modality,
+        f"{cfg.dataset_name}_model_{cfg.fore.extraction_mode}_{cfg.method}.npz",
+    )
+    model = load_vad_model(model_path)
+    out = args.out or os.path.dirname(model_path)
+    for p in export_model_grid(
+        model, out, mode=cfg.fore.extraction_mode, method=cfg.method
+    ):
+        print(p)
+    return 0
+
+
 def cmd_demo(args) -> int:
     import importlib.util
 
@@ -290,6 +313,18 @@ def main(argv=None) -> int:
     p.add_argument("--splits", default="train,test")
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(fn=cmd_precompute_boxes)
+
+    p = sub.add_parser(
+        "export-torch",
+        help="export the trained model grid to the reference's torch "
+        "artifact format (model_set + training-score grids)",
+    )
+    _add_common(p)
+    p.add_argument(
+        "--out", default=None,
+        help="output directory (default: alongside the .npz model)",
+    )
+    p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("extract-frames", help="video file -> frame images")
     p.add_argument("--video", required=True)
