@@ -420,3 +420,36 @@ def test_packed_weights_bit_identical():
         return np.asarray(out, np.float32)
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_multicamera_mesh_matches_single_device():
+    """Fleet sharding over the device mesh (cameras split across devices,
+    weights replicated, zero collectives) must score every camera exactly
+    like the unsharded tick — the per-device program IS the single-device
+    camera scan over its local cameras."""
+    import jax
+
+    from vec_vad_tpu.parallel.mesh import get_mesh
+    from vec_vad_tpu.serve import MultiCameraScorer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    ds, cfg, model = _train_tiny(use_flow=False, seed=30)
+    C = 8
+    base = MultiCameraScorer.from_model(model, n_cameras=C)
+    sharded = MultiCameraScorer.from_model(model, n_cameras=C, mesh=get_mesh())
+    assert sharded._n_shards == len(jax.devices())
+    base.start_video()
+    sharded.start_video()
+    nt = len(ds.test_frames)
+    for t in range(4):
+        fr = np.stack(
+            [ds.test_frames[(t + 2 * c) % nt] for c in range(C)]
+        )
+        boxes = [ds.test_boxes[(t + 2 * c) % nt] for c in range(C)]
+        a = base.push_tick(fr, boxes)
+        b = sharded.push_tick(fr, boxes)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # camera count must divide the mesh
+    with pytest.raises(ValueError):
+        MultiCameraScorer.from_model(model, n_cameras=3, mesh=get_mesh())

@@ -582,13 +582,35 @@ class MultiCameraScorer(StreamingScorer):
         scorer.start_video(camera=3, scene=2) # camera 3 cuts to a new video
         for frames, boxes in fleet_feed:      # frames (C, H, W, 3)
             scores = scorer.push_tick(frames, boxes)   # C scores
+
+    Pass `mesh=` (a 1-D device mesh) to shard the fleet over chips: each
+    device serves C / n_devices cameras with zero collectives per tick
+    (cameras are independent), so fleet capacity scales linearly over ICI
+    while the host still pays one dispatch + one download per tick.
     """
 
     def __init__(self, cfg, variables=None, stats=None, *, n_cameras,
-                 **kw):
+                 mesh=None, **kw):
+        """mesh: a 1-D jax.sharding.Mesh to shard the fleet over: each
+        device serves C / n_devices cameras (rings, frames, ctrl and box
+        tensors sharded on the camera axis; weights replicated). The
+        per-device program is the proven single-device camera scan over
+        its local cameras — cameras are independent, so the tick needs
+        ZERO collectives and scales linearly over ICI. Ignored for a
+        1-device mesh (sharding annotations on a single device measurably
+        slow the scan — CLAUDE.md)."""
         self.C = int(n_cameras)
         if self.C < 1:
             raise ValueError("n_cameras must be >= 1")
+        self.mesh = mesh
+        self._n_shards = (
+            int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        )
+        if self._n_shards > 1 and self.C % self._n_shards:
+            raise ValueError(
+                f"n_cameras={self.C} must divide evenly over the "
+                f"{self._n_shards}-device mesh"
+            )
         super().__init__(cfg, variables, stats, **kw)
         self._cam_v0 = np.zeros(self.C, np.int64)
         self._cam_scene = np.ones(self.C, np.int64)
@@ -604,9 +626,8 @@ class MultiCameraScorer(StreamingScorer):
         # scan body once at the single-camera shapes it already handles
         # well; the batched-vmap program lowers the ring update/gather and
         # crop-resize einsums into a far slower fused form.
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step_tick(ring, flow_ring, frames, flow_maps, ctrls,
-                      boxes, *weights):
+        def tick(ring, flow_ring, frames, flow_maps, ctrls,
+                 boxes, *weights):
             variables, stats = self._unweight(weights)
 
             def body(_, xs):
@@ -619,7 +640,22 @@ class MultiCameraScorer(StreamingScorer):
             )
             return ring, flow_ring, outs
 
-        self._step_tick = step_tick
+        if self._n_shards > 1:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec
+
+            cam = PartitionSpec(self.mesh.axis_names[0])
+            rep = PartitionSpec()
+            tick = shard_map(
+                tick,
+                mesh=self.mesh,
+                in_specs=(cam,) * 6 + (rep,) * len(self._weight_args),
+                out_specs=(cam, cam, cam),
+            )
+        self._step_tick = partial(jax.jit, donate_argnums=(0, 1))(tick)
 
     # -- per-camera stream state ---------------------------------------
 
@@ -716,13 +752,27 @@ class MultiCameraScorer(StreamingScorer):
     def _ensure_rings(self, h: int, w: int) -> None:
         if self._ring is not None:
             return
-        self._ring = jnp.zeros((self.C, self.R, h, w, 3), jnp.uint8)
-        if self.use_flow:
-            self._flow_ring = jnp.zeros(
-                (self.C, self.R_of, h, w, 2), jnp.float32
+        of_shape = (
+            (self.C, self.R_of, h, w, 2) if self.use_flow
+            else (self.C, 1, 1, 1, 2)
+        )
+        if self._n_shards > 1:
+            # allocate rings already sharded on the camera axis so the
+            # donated buffers round-trip the tick without resharding
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(
+                self.mesh, PartitionSpec(self.mesh.axis_names[0])
             )
-        else:
-            self._flow_ring = jnp.zeros((self.C, 1, 1, 1, 2), jnp.float32)
+            self._ring = jax.device_put(
+                np.zeros((self.C, self.R, h, w, 3), np.uint8), sh
+            )
+            self._flow_ring = jax.device_put(
+                np.zeros(of_shape, np.float32), sh
+            )
+            return
+        self._ring = jnp.zeros((self.C, self.R, h, w, 3), jnp.uint8)
+        self._flow_ring = jnp.zeros(of_shape, jnp.float32)
 
     def drain(self) -> List[List[float]]:
         """Materialize the tick scores still in flight (stream end)."""
