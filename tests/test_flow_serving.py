@@ -1,0 +1,217 @@
+"""Live-flow streaming (serve.FlowStreamingScorer): flow computed on
+device from the frame ring, one fused call per push, must reproduce the
+offline pipeline's scores exactly — including the reference's flow-pair
+rule (zero flow at video heads, flow(t -> t+1) mid-video, the tail pair
+at video ends; calc_optical_flow.py:43-76)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vec_vad_tpu.config import (
+    CompletionConfig,
+    DatasetSpec,
+    ForegroundConfig,
+    PipelineConfig,
+)
+from vec_vad_tpu.data.synthetic import make_synthetic_dataset
+from vec_vad_tpu.data.video_index import VideoIndex
+from vec_vad_tpu.flow.driver import compute_optical_flow
+from vec_vad_tpu.infer import infer_frame_scores_resident
+from vec_vad_tpu.ops.stc import pad_boxes
+from vec_vad_tpu.pipeline import extract_cube_set, make_trainer, train_model
+from vec_vad_tpu.serve import FlowStreamingScorer
+
+SPEC = DatasetSpec(
+    name="s", frame_h=48, frame_w=64, file_ext=".tif", scene_num=1,
+    ap_score_thr=0.5, ap_min_area=16.0, cover_thr=0.6,
+    mt_area_thr=16.0, mt_binary_thr=18.0, mt_extend=2, mt_gauss_mask_size=3,
+)
+FLOW_HW = (24, 32)  # tiny stand-in for the driver's 384x512 protocol
+
+
+class TinyFlow(nn.Module):
+    """Minimal stand-in with FlowNet2's serving contract:
+    (B, 2, mh, mw, 3) frame pairs in 0..255 -> (B, mh, mw, 2) flow."""
+
+    @nn.compact
+    def __call__(self, pair, train: bool = False):
+        x = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=-1) / 255.0
+        x = nn.relu(nn.Conv(8, (3, 3))(x))
+        return nn.Conv(2, (3, 3))(x)
+
+
+def _flow_net():
+    net = TinyFlow()
+    v = net.init(
+        jax.random.key(7), jnp.zeros((1, 2) + FLOW_HW + (3,), jnp.float32)
+    )
+    return net, v
+
+
+def _train_two_stream(seed, context_of_num):
+    ds = make_synthetic_dataset(
+        frames_per_video=14, n_train_videos=1, n_test_videos=2,
+        frame_h=48, frame_w=64, seed=seed,
+    )
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=8),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16,
+            context_of_num=context_of_num, use_flow=True,
+        ),
+    )
+    fnet, fvars = _flow_net()
+    tr_idx = VideoIndex(["v"], ds.train_video_lengths)
+    tr_flow = compute_optical_flow(
+        fnet, fvars, tr_idx, ds.train_frames, model_hw=FLOW_HW
+    )
+    cubes = extract_cube_set(
+        cfg, SPEC, tr_idx, ds.train_frames, ds.train_boxes,
+        flow_frames=tr_flow,
+    )
+    model = train_model(cfg, cubes, trainer=make_trainer(cfg))
+    return ds, cfg, model, fnet, fvars
+
+
+def _offline_scores(ds, cfg, model, te_idx, te_flow):
+    blk = model.blocks[(0, 0, 0)]
+    boxes_pad, valid = pad_boxes(ds.test_boxes, cfg.fore.max_boxes_per_frame)
+    windows = te_idx.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+    ow = te_idx.context_indices(cfg.model.context_of_num, cfg.model.border_mode)
+    mu_r, sd_r = blk.raw_stats
+    mu_o, sd_o = blk.of_stats
+    return infer_frame_scores_resident(
+        cfg,
+        {"params": blk.params, "batch_stats": blk.batch_stats},
+        (mu_r, sd_r, mu_o, sd_o),
+        ds.test_frames,
+        windows,
+        boxes_pad,
+        valid,
+        chunk=8,
+        cube_batch=16,
+        flow=te_flow,
+        of_windows=ow if ow.ndim > 1 else ow[:, None],
+    )
+
+
+def _stream(scorer, frames, boxes, video_lengths):
+    out, i = [], 0
+    for ln in video_lengths:
+        scorer.start_video()
+        for _ in range(int(ln)):
+            s = scorer.push(frames[i], boxes[i])
+            if s is not None:
+                out.append(s)
+            i += 1
+        s = scorer.end_video()
+        if s is not None:
+            out.append(s)
+    out.extend(scorer.drain())
+    return np.asarray(out, np.float32)
+
+
+@pytest.mark.parametrize("context_of_num", [0, 4])
+def test_live_flow_matches_offline(context_of_num):
+    """Streamed scores with ON-DEVICE flow == offline scores with the
+    driver-precomputed flow tree, frame for frame (both test videos,
+    head/mid/tail pair rules all exercised)."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(31, context_of_num)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    te_flow = compute_optical_flow(
+        fnet, fvars, te_idx, ds.test_frames, model_hw=FLOW_HW
+    )
+    offline = _offline_scores(ds, cfg, model, te_idx, te_flow)
+
+    scorer = FlowStreamingScorer.from_model(
+        model, flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW
+    )
+    streamed = _stream(
+        scorer, ds.test_frames, ds.test_boxes, te_idx.video_lengths
+    )
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
+
+
+def test_live_flow_two_frame_video_tail():
+    """N=2 video: BOTH frames' pairs are the degenerate (f0, f0) — the
+    tail window of a 2-frame video is still the head window [0, 0, 1]
+    (flow_pair_indices), so a naive flow(0 -> 1) tail would diverge."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(32, 0)
+    te_idx = VideoIndex(["a"], np.array([2]))
+    frames = ds.test_frames[:2]
+    boxes = ds.test_boxes[:2]
+    te_flow = compute_optical_flow(fnet, fvars, te_idx, frames, model_hw=FLOW_HW)
+    np.testing.assert_array_equal(np.asarray(te_flow[0]), np.asarray(te_flow[1]))
+
+    blk = model.blocks[(0, 0, 0)]
+    boxes_pad, valid = pad_boxes(list(boxes), cfg.fore.max_boxes_per_frame)
+    windows = te_idx.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+    ow = te_idx.context_indices(cfg.model.context_of_num, cfg.model.border_mode)
+    offline = infer_frame_scores_resident(
+        cfg,
+        {"params": blk.params, "batch_stats": blk.batch_stats},
+        blk.raw_stats + blk.of_stats,
+        frames, windows, boxes_pad, valid, chunk=2, cube_batch=16,
+        flow=te_flow, of_windows=ow if ow.ndim > 1 else ow[:, None],
+    )
+    scorer = FlowStreamingScorer.from_model(
+        model, flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW
+    )
+    streamed = _stream(scorer, frames, boxes, [2])
+    np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
+
+
+def test_live_flow_api_discipline():
+    """push before start_video and start_video over an unflushed video
+    raise; raw-only models are refused; pipeline_depth shifts emission
+    without changing scores."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(33, 0)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+
+    scorer = FlowStreamingScorer.from_model(
+        model, flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW
+    )
+    with pytest.raises(ValueError):
+        scorer.push(ds.test_frames[0], ds.test_boxes[0])
+    scorer.start_video()
+    scorer.push(ds.test_frames[0], ds.test_boxes[0])
+    scorer.push(ds.test_frames[1], ds.test_boxes[1])
+    with pytest.raises(ValueError):
+        scorer.start_video()
+    scorer.end_video()
+    scorer.start_video()  # now fine
+
+    base = _stream(
+        FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW
+        ),
+        ds.test_frames, ds.test_boxes, te_idx.video_lengths,
+    )
+    piped = _stream(
+        FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars,
+            flow_model_hw=FLOW_HW, pipeline_depth=2,
+        ),
+        ds.test_frames, ds.test_boxes, te_idx.video_lengths,
+    )
+    np.testing.assert_array_equal(base, piped)
+
+    import dataclasses
+
+    cfg_raw = cfg.replace(
+        model=dataclasses.replace(cfg.model, use_flow=False)
+    )
+    with pytest.raises(ValueError):
+        FlowStreamingScorer(
+            cfg_raw, None, None, flow_net=fnet, flow_variables=fvars,
+            blocks={(0, 0, 0): (None, (0.0, 1.0))},
+        )

@@ -36,8 +36,11 @@ cube quantization, same ensemble forward, same z-norm/fusion, same motion
 
 `MultiCameraScorer` extends the same step to fleet serving: C concurrent
 camera streams scored in one device call per tick (the per-frame step
-vmapped over a leading camera axis), with per-camera video boundaries and
-scene routing.
+scanned over a leading camera axis, optionally sharded over a device
+mesh), with per-camera video boundaries and scene routing.
+`FlowStreamingScorer` fuses a FlowNet forward into the per-frame step so
+a two-stream model serves a raw camera feed with NO precomputed flow —
+something the reference's offline calc_optical_flow relay cannot do.
 
 Hardware (UCSDped2 geometry through the remote relay, 200-frame medians,
 BENCH_r03): synchronous push 34.4 ms median / 39.1 ms p90 per frame;
@@ -266,21 +269,19 @@ class StreamingScorer:
         R, R_of = self.R, self.R_of
         gray = self.gray_stream
 
-        def one(ring, flow_ring, frame, flow_map, ctrl,
-                boxes, variables, stats):
-            # ctrl packs every small int argument into ONE host array
-            # (slot, of_slot, win[R], owin[R_of]) — one transfer, not four
-            slot, of_slot = ctrl[0], ctrl[1]
-            win, owin = ctrl[2 : 2 + R], ctrl[2 + R : 2 + R + R_of]
+        def write_frame(ring, frame, slot):
             if gray:
                 # cv2.imread replicates gray sources across BGR exactly
                 frame = jnp.broadcast_to(
                     frame.reshape(frame.shape[0], frame.shape[1], 1),
                     (frame.shape[0], frame.shape[1], 3),
                 )
-            ring = jax.lax.dynamic_update_slice(
+            return jax.lax.dynamic_update_slice(
                 ring, frame[None], (slot, 0, 0, 0)
             )
+
+        def score_from_rings(ring, flow_ring, win, owin,
+                             boxes, variables, stats):
             wd = jnp.take(ring, win, axis=0)
             cubes = extract_stc(wd, boxes, P, quantize=True)
             # uint8 round-trip: bit-identical to the offline HBM cube buffer
@@ -288,9 +289,6 @@ class StreamingScorer:
             x = x.astype(cdt) / 255.0
 
             if use_flow:
-                flow_ring = jax.lax.dynamic_update_slice(
-                    flow_ring, flow_map[None], (of_slot, 0, 0, 0)
-                )
                 owd = jnp.take(flow_ring, owin, axis=0)
                 fcubes = extract_stc(owd, boxes, P, quantize=False)
                 mag = flow_magnitude(fcubes)
@@ -318,9 +316,27 @@ class StreamingScorer:
             scores = jax.vmap(block_scores)(variables, stats)  # (B, K)
             # one flat result vector -> the host forces ONE download
             # (scores and mag separately would each pay a tunnel round trip)
-            return ring, flow_ring, jnp.concatenate([scores.reshape(-1), mag])
+            return jnp.concatenate([scores.reshape(-1), mag])
+
+        def one(ring, flow_ring, frame, flow_map, ctrl,
+                boxes, variables, stats):
+            # ctrl packs every small int argument into ONE host array
+            # (slot, of_slot, win[R], owin[R_of]) — one transfer, not four
+            slot, of_slot = ctrl[0], ctrl[1]
+            win, owin = ctrl[2 : 2 + R], ctrl[2 + R : 2 + R + R_of]
+            ring = write_frame(ring, frame, slot)
+            if use_flow:
+                flow_ring = jax.lax.dynamic_update_slice(
+                    flow_ring, flow_map[None], (of_slot, 0, 0, 0)
+                )
+            out = score_from_rings(
+                ring, flow_ring, win, owin, boxes, variables, stats
+            )
+            return ring, flow_ring, out
 
         self._one = one  # reused by MultiCameraScorer's scanned tick step
+        self._write_frame = write_frame  # reused by FlowStreamingScorer
+        self._score_from_rings = score_from_rings
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(ring, flow_ring, frame, flow_map, ctrl, boxes, *weights):
@@ -789,3 +805,252 @@ class MultiCameraScorer(StreamingScorer):
             )
             for c in range(self.C)
         ]
+
+
+class FlowStreamingScorer(StreamingScorer):
+    """Live two-stream serving: optical flow is computed ON DEVICE from
+    the frame ring and fused into the same per-frame device call — a raw
+    camera feed serves a flow-fusing model with no precomputed flow tree.
+    The reference cannot do this at all: its pipeline requires a full
+    offline calc_optical_flow.py pass writing .npy files before test.py
+    can score (calc_optical_flow.py:25-85).
+
+    Scores are EXACTLY the offline pipeline's, because the reference's
+    flow-pair rule is reproduced frame-for-frame (flow.driver
+    .flow_pair_indices semantics):
+
+      flow[0]     = net(f0, f0)      (the boundary picks the degenerate
+                                      pair — near-zero flow from a
+                                      trained net, but COMPUTED, not
+                                      literal zeros)
+      flow[t]     = flow(t -> t+1)   for 0 < t < N-1
+      flow[N-1]   = flow(N-2 -> N-1)
+
+    flow[t] needs frame t+1, so frame t's score emerges one push later
+    ("flow lag"): push(f_0) returns frame 0's score immediately (its
+    pair is (f0, f0) — available at once), push(f_u) returns frame u-1's
+    score (None at u=1: frame 0 was already emitted and frame 1 waits
+    for f_2), and end_video() flushes the last frame. One fused device
+    call per push: ring write + FlowNet forward at the driver's resize
+    protocol (512x384 default, no magnitude rescale) + STC extraction +
+    ensemble scoring; the flow map never leaves HBM. Composes with
+    pipeline_depth like the base class.
+
+    The flow net rides the same packed-weight marshaling as the block
+    weights (FlowNet2's ~650 MB pytree is ~230 leaves — one buffer
+    handle instead).
+
+    Usage:
+        scorer = FlowStreamingScorer.from_model(
+            model, flow_net=flownet2, flow_variables=fvars)
+        for video in feed:
+            scorer.start_video()
+            for frame, boxes in video:
+                s = scorer.push(frame, boxes)   # score of previous frame
+            tail = scorer.end_video()           # last frame's score
+    """
+
+    def __init__(self, cfg, variables=None, stats=None, *, flow_net,
+                 flow_variables, flow_model_hw=(384, 512), **kw):
+        if not cfg.model.use_flow:
+            raise ValueError(
+                "FlowStreamingScorer serves two-stream models; "
+                "use StreamingScorer for raw-only (use_flow=False)"
+            )
+        super().__init__(cfg, variables, stats, **kw)
+        self.flow_net = flow_net
+        self._flow_hw = tuple(flow_model_hw)
+        fleaves, self._ftree = jax.tree_util.tree_flatten(flow_variables)
+        if all(l.dtype == jnp.float32 for l in fleaves):
+            self._fshapes = [l.shape for l in fleaves]
+            self._flow_arg = jnp.concatenate([jnp.ravel(l) for l in fleaves])
+        else:
+            self._fshapes = None
+            self._flow_arg = flow_variables
+        self._step_flow = self._build_flow_step()
+        self._last = None  # (frame, boxes_pad, nb) of the newest push
+        self._first = None  # first frame of the current video (N=2 tail)
+        self._video_closed = True
+        # the step writes frame u BEFORE scoring frame u-1, whose raw
+        # window still needs f_{u-R} — one extra slot keeps it alive
+        self._rlen = self.R + 1
+
+    def _unpack_flow(self, fw):
+        if self._fshapes is None:
+            return fw
+        leaves, o = [], 0
+        for shp in self._fshapes:
+            sz = int(np.prod(shp))
+            leaves.append(fw[o : o + sz].reshape(shp))
+            o += sz
+        return jax.tree_util.tree_unflatten(self._ftree, leaves)
+
+    def _build_flow_step(self):
+        from vec_vad_tpu.flow.driver import resize_bilinear
+
+        R, R_of = self.R, self.R_of
+        write_frame = self._write_frame
+        score_from_rings = self._score_from_rings
+        fnet = self.flow_net
+        mh, mw = self._flow_hw
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_flow(ring, flow_ring, frame, ctrl, boxes, fw, *weights):
+            variables, stats = self._unweight(weights)
+            fvars = self._unpack_flow(fw)
+            slot, prev_slot = ctrl[0], ctrl[1]
+            of_slot, wflag = ctrl[2], ctrl[3]
+            win = ctrl[4 : 4 + R]
+            owin = ctrl[4 + R : 4 + R + R_of]
+
+            ring = write_frame(ring, frame, slot)
+            H, W = ring.shape[1], ring.shape[2]
+            pair = jnp.stack(
+                [jnp.take(ring, prev_slot, axis=0),
+                 jnp.take(ring, slot, axis=0)]
+            )  # (2, H, W, 3) uint8
+            # the driver's protocol exactly (flow/driver.py run_chunk):
+            # cv2-parity resize to model_hw, forward, resize back WITHOUT
+            # magnitude rescaling
+            pr = resize_bilinear(pair, mh, mw)
+            flow = fnet.apply(fvars, pr[None])
+            flow = resize_bilinear(flow, H, W)[0]  # (H, W, 2)
+            written = jax.lax.dynamic_update_slice(
+                flow_ring, flow[None], (of_slot, 0, 0, 0)
+            )
+            # wflag=0 protects flow[0] = net(f0, f0) at the u=1 push
+            # (where flow(0->1) is computed but used by no frame)
+            flow_ring = jnp.where(wflag > 0, written, flow_ring)
+            out = score_from_rings(
+                ring, flow_ring, win, owin, boxes, variables, stats
+            )
+            return ring, flow_ring, out
+
+        return step_flow
+
+    # -- streaming API ---------------------------------------------------
+
+    def start_video(self, scene: int = 1) -> None:
+        if self._n_pushed > self._v0 and not self._video_closed:
+            raise ValueError(
+                "end_video() must flush the previous video before "
+                "start_video() (the last frame's score is still pending)"
+            )
+        super().start_video(scene)
+        self._video_closed = False
+        self._last = None
+
+    def _norm_frame(self, frame: np.ndarray) -> np.ndarray:
+        frame = np.asarray(frame, np.uint8)
+        if self.gray_stream:
+            if frame.ndim == 3:
+                frame = frame[..., 0]
+        elif frame.ndim != 3:
+            raise ValueError("3-channel frame expected (or gray_stream=True)")
+        return frame
+
+    def _pad_boxes(self, boxes) -> Tuple[np.ndarray, int]:
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        nb = boxes.shape[0]
+        if nb > self.K:
+            raise ValueError(f"{nb} boxes > max_boxes={self.K}")
+        boxes_pad = np.zeros((self.K, 4), np.float32)
+        boxes_pad[:nb] = boxes
+        return boxes_pad, nb
+
+    def _ensure_rings(self, h: int, w: int) -> None:
+        if self._ring is not None:
+            return
+        self._ring = jnp.zeros((self._rlen, h, w, 3), jnp.uint8)
+        self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
+
+    def _flow_ctrl(self, tpos: int, slot: int, prev_slot: int,
+                   wflag: int) -> np.ndarray:
+        """ctrl for scoring within-video frame `tpos` whose flow pair is
+        (prev_slot, slot) in the raw ring."""
+        of_slot = (self._v0 + tpos) % self.R_of
+        win = (self._v0 + _predict_window(tpos, self.ctx)) % self._rlen
+        owin = (self._v0 + _predict_window(tpos, self.ctx_of)) % self.R_of
+        return np.concatenate(
+            [[slot, prev_slot, of_slot, wflag], win, owin]
+        ).astype(np.int32)
+
+    def push(self, frame: np.ndarray, boxes: np.ndarray) -> Optional[float]:
+        """Score a frame's PREDECESSOR (see class docstring): returns
+        frame u-1's score at push u (frame 0's at push 0, None at push 1
+        and while any pipeline_depth fills)."""
+        if self._video_closed:
+            raise ValueError("call start_video() first")
+        pos = self._n_pushed - self._v0
+        frame = self._norm_frame(frame)
+        boxes_pad, nb = self._pad_boxes(boxes)
+        self._ensure_rings(*frame.shape[:2])
+        slot = self._n_pushed % self._rlen
+        if pos == 0:
+            # frame 0's pair is (f0, f0): score it in the same call
+            ctrl = self._flow_ctrl(tpos=0, slot=slot, prev_slot=slot, wflag=1)
+            sb, snb = boxes_pad, nb
+            self._first = frame
+        else:
+            # score the predecessor with its pair (u-1, u); the u=1 call
+            # only advances the rings (frame 0 already emitted, wflag=0)
+            ctrl = self._flow_ctrl(
+                tpos=pos - 1, slot=slot,
+                prev_slot=(self._n_pushed - 1) % self._rlen,
+                wflag=1 if pos >= 2 else 0,
+            )
+            _, sb, snb = self._last
+        self._ring, self._flow_ring, out = self._step_flow(
+            self._ring, self._flow_ring, frame, ctrl, sb,
+            self._flow_arg, *self._weight_args,
+        )
+        self._n_pushed += 1
+        self._last = (frame, boxes_pad, nb)
+        if pos == 1:
+            return None  # nothing emitted: frame 1 waits for f_2
+        self._pending.append((out, sb, snb, self._scene, False))
+        if len(self._pending) <= self.pipeline_depth:
+            return None
+        return self._finish(*self._pending.popleft())
+
+    def end_video(self) -> Optional[float]:
+        """Flush the current video's last frame: its flow pair is only
+        known now — flow(N-2 -> N-1) for N >= 3, the degenerate (f0, f0)
+        for N = 2 (the tail window of a 2-frame video is still the head
+        window [0, 0, 1]; flow.driver.flow_pair_indices). Returns its
+        score (or an earlier pending one under pipeline_depth; None for
+        an empty/1-frame video where nothing is pending)."""
+        if self._video_closed:
+            return None
+        self._video_closed = True
+        n = self._n_pushed - self._v0
+        if n < 2:
+            return None  # 0 frames, or 1 frame already scored at push 0
+        _, boxes_pad, nb = self._last
+        g = self._n_pushed - 1
+        if n == 2:
+            # pair (f0, f0): re-send f0 to its own slot, idempotently
+            frame = self._first
+            slot = prev_slot = self._v0 % self._rlen
+        else:
+            # pair (N-2, N-1): re-send the last frame to its own slot
+            frame = self._last[0]
+            slot = g % self._rlen
+            prev_slot = (g - 1) % self._rlen
+        ctrl = self._flow_ctrl(
+            tpos=n - 1, slot=slot, prev_slot=prev_slot, wflag=1
+        )
+        self._ring, self._flow_ring, out = self._step_flow(
+            self._ring, self._flow_ring, frame, ctrl, boxes_pad,
+            self._flow_arg, *self._weight_args,
+        )
+        self._pending.append((out, boxes_pad, nb, self._scene, False))
+        if len(self._pending) <= self.pipeline_depth:
+            return None
+        return self._finish(*self._pending.popleft())
+
+    def push_many(self, *a, **kw):
+        raise NotImplementedError(
+            "FlowStreamingScorer scores per push; micro-batching the "
+            "flow-fused step is not implemented"
+        )
