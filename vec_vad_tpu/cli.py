@@ -101,7 +101,34 @@ def cmd_serve(args) -> int:
     )
     model = load_vad_model(model_path)
     data = load_split(cfg, args.base, "test")
-    scorer = StreamingScorer.from_model(model)
+    live = bool(getattr(args, "live_flow", False))
+    if live:
+        # no flow tree needed: flow is computed on device inside the
+        # per-frame call (serve.FlowStreamingScorer)
+        import jax
+        import jax.numpy as jnp
+
+        from vec_vad_tpu.models.flownet import (
+            FlowNet2,
+            load_flownet2_checkpoint,
+        )
+        from vec_vad_tpu.serve import FlowStreamingScorer
+
+        fnet = FlowNet2()
+        x0 = jnp.zeros((1, 2, 384, 512, 3))
+        if args.flow_checkpoint:
+            fvars, report = load_flownet2_checkpoint(
+                fnet, x0, args.flow_checkpoint
+            )
+            print(f"loaded flow checkpoint: {len(report['matched'])} tensors")
+        else:
+            fvars = fnet.init(jax.random.key(0), x0)
+            print("WARNING: no --flow-checkpoint — random-init FlowNet2")
+        scorer = FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars
+        )
+    else:
+        scorer = StreamingScorer.from_model(model)
 
     n = data.index.total_frames if args.frames <= 0 else min(
         args.frames, data.index.total_frames
@@ -122,15 +149,25 @@ def cmd_serve(args) -> int:
             if i >= n:
                 break
             frame = np.asarray(data.frames[i])
-            flow = (
-                np.asarray(data.flow[i])
-                if scorer.use_flow and data.flow is not None
-                else None
-            )
             t0 = time.perf_counter()
-            scores.append(scorer.push(frame, data.boxes[i], flow=flow))
+            if live:
+                s = scorer.push(frame, data.boxes[i])
+            else:
+                flow = (
+                    np.asarray(data.flow[i])
+                    if scorer.use_flow and data.flow is not None
+                    else None
+                )
+                s = scorer.push(frame, data.boxes[i], flow=flow)
             lat.append(time.perf_counter() - t0)
+            if s is not None:
+                scores.append(s)
             i += 1
+        if live:
+            s = scorer.end_video()
+            if s is not None:
+                scores.append(s)
+    scores.extend(scorer.drain())
     lat = np.array(lat[2:]) if len(lat) > 2 else np.array(lat)  # drop compiles
     print(
         f"streamed {i} frames: median latency {np.median(lat) * 1e3:.1f} ms "
@@ -283,6 +320,16 @@ def main(argv=None) -> int:
     p.add_argument(
         "--frames", type=int, default=0,
         help="stream only the first N frames (0 = whole split + AUROC)",
+    )
+    p.add_argument(
+        "--live-flow", action="store_true",
+        help="compute optical flow ON DEVICE inside the per-frame call "
+        "(no precomputed flow tree needed; two-stream models only)",
+    )
+    p.add_argument(
+        "--flow-checkpoint", default=None,
+        help="FlowNet2 torch checkpoint for --live-flow "
+        "(random-init with a warning when absent)",
     )
     p.set_defaults(fn=cmd_serve)
 
