@@ -234,6 +234,81 @@ def cmd_calc_flow(args) -> int:
     return 0
 
 
+def cmd_flow_train(args) -> int:
+    """Fine-tune a flow net on Sintel/FlyingChairs/ChairsSDHom trees —
+    the reference's FlowNet2_src/main.py harness as a CLI: epoch loop
+    with per-epoch validation EPE, resumable checkpoint + model_best
+    tracking (flow/harness.py), StaticRandomCrop augmentation and /64
+    render-size handling (flow/datasets.py), multi-scale L1/L2 loss,
+    stepped LR schedule."""
+    from vec_vad_tpu.flow.datasets import (
+        ChairsSDHom,
+        FlyingChairs,
+        MpiSintel,
+    )
+    from vec_vad_tpu.flow.harness import FlowHarness
+    from vec_vad_tpu.flow.trainer import FlowTrainer
+    from vec_vad_tpu.models import flownet
+
+    net_cls = getattr(flownet, args.net, None)
+    if net_cls is None or not isinstance(net_cls, type):
+        raise SystemExit(f"unknown flow net {args.net!r}")
+    net = net_cls()
+
+    crop = (
+        tuple(int(v) for v in args.crop_size.split(","))
+        if args.crop_size else None
+    )
+    makers = {
+        "MpiSintel": lambda root, **kw: MpiSintel(
+            root, dstype=args.dstype, **kw
+        ),
+        "FlyingChairs": FlyingChairs,
+        "ChairsSDHom": ChairsSDHom,
+    }
+    mk = makers[args.dataset]
+    train_ds = mk(args.data_root, crop_size=crop)
+    # validation center-crops to the render size (no augmentation),
+    # main.py's is_cropped=False eval path
+    val_ds = mk(args.val_root or args.data_root)
+
+    init_params = None
+    trainer = FlowTrainer(
+        net,
+        learning_rate=args.lr,
+        norm=args.norm,
+        schedule_lr_frequency=args.schedule_lr_frequency,
+        schedule_lr_fraction=args.schedule_lr_fraction,
+    )
+    if args.checkpoint:
+        import jax.numpy as jnp
+
+        from vec_vad_tpu.models.flownet import load_flownet2_checkpoint
+
+        th, tw = train_ds.crop_size or train_ds.render_size
+        x0 = jnp.zeros((1, th, tw, 6))
+        variables, report = load_flownet2_checkpoint(
+            net, x0, args.checkpoint
+        )
+        print(f"loaded checkpoint: {len(report['matched'])} tensors")
+        init_params = variables["params"]
+
+    harness = FlowHarness(trainer, args.workdir, norm=args.norm)
+    result = harness.fit(
+        train_ds,
+        val_ds,
+        total_epochs=args.epochs,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        resume=not args.no_resume,
+        log=True,
+        init_params=init_params,
+    )
+    print(f"best validation EPE: {result.best_epe:.4f}")
+    print(f"checkpoints in {args.workdir}")
+    return 0
+
+
 def cmd_precompute_boxes(args) -> int:
     from vec_vad_tpu.runner import run_precompute_boxes
 
@@ -360,6 +435,38 @@ def main(argv=None) -> int:
     p.add_argument("--splits", default="train,test")
     p.add_argument("--overwrite", action="store_true")
     p.set_defaults(fn=cmd_precompute_boxes)
+
+    p = sub.add_parser(
+        "flow-train",
+        help="fine-tune a flow net (FlowNet2_src/main.py harness: "
+        "epochs, validation EPE, resume, model_best)",
+    )
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--val-root", default=None,
+                   help="validation tree (default: --data-root)")
+    p.add_argument(
+        "--dataset", default="FlyingChairs",
+        choices=["FlyingChairs", "MpiSintel", "ChairsSDHom"],
+    )
+    p.add_argument("--dstype", default="clean",
+                   help="MpiSintel pass: clean | final")
+    p.add_argument("--net", default="FlowNet2S",
+                   help="FlowNetC/S/SD or FlowNet2/C/S/SD/CS/CSS")
+    p.add_argument("--workdir", required=True,
+                   help="checkpoint/model_best directory")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--norm", default="L1", choices=["L1", "L2"])
+    p.add_argument("--crop-size", default=None,
+                   help="h,w StaticRandomCrop augmentation")
+    p.add_argument("--schedule-lr-frequency", type=int, default=0)
+    p.add_argument("--schedule-lr-fraction", type=float, default=10.0)
+    p.add_argument("--checkpoint", default=None,
+                   help="torch checkpoint to fine-tune from")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_flow_train)
 
     p = sub.add_parser(
         "export-torch",

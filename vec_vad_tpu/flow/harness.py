@@ -121,13 +121,25 @@ class FlowHarness:
         seed: int = 0,
         resume: bool = True,
         log: bool = False,
+        init_params=None,
     ) -> FitResult:
         """Train to total_epochs, validating each epoch; transparently
-        resumes from <workdir>/checkpoint.msgpack when present."""
+        resumes from <workdir>/checkpoint.msgpack when present.
+
+        init_params: start from these net params instead of a random
+        init (fine-tuning a converted checkpoint — the reference's
+        --resume-from-pretrained path, main.py:341-350). A workdir
+        checkpoint still wins when resume=True: the pretrained weights
+        seed epoch 1 only."""
         if example_pairs is None:
             pairs0, _ = next(train_dataset.batches(batch_size, shuffle=False))
             example_pairs = pairs0
         state = self.trainer.init_state(example_pairs, seed=seed)
+        if init_params is not None:
+            state = state.replace(
+                params=init_params,
+                opt_state=self.trainer.tx.init(init_params),
+            )
         start_epoch, best_epe = 1, float("inf")
         if resume:
             loaded = self.load_checkpoint(state)
