@@ -215,3 +215,81 @@ def test_live_flow_api_discipline():
             cfg_raw, None, None, flow_net=fnet, flow_variables=fvars,
             blocks={(0, 0, 0): (None, (0.0, 1.0))},
         )
+
+
+def _camera_feeds(ds):
+    """Two equal-length per-camera streams from the two test videos."""
+    n = int(ds.test_video_lengths[0])
+    feeds = [
+        (ds.test_frames[:n], ds.test_boxes[:n]),
+        (ds.test_frames[n : 2 * n], ds.test_boxes[n : 2 * n]),
+    ]
+    return n, feeds
+
+
+def _stream_fleet(scorer, feeds, n):
+    rows = []
+    scorer.start_video()
+    for t in range(n):
+        out = scorer.push_tick(
+            np.stack([f[0][t] for f in feeds]),
+            [f[1][t] for f in feeds],
+        )
+        if out is not None:
+            rows.append(out)
+    out = scorer.end_video()
+    if out is not None:
+        rows.append(out)
+    rows.extend(scorer.drain())
+    return np.asarray(rows, np.float32)  # (n, C)
+
+
+def test_multicamera_live_flow_matches_single():
+    """MultiCameraFlowScorer's fused tick == per-camera
+    FlowStreamingScorer streams, column for column."""
+    from vec_vad_tpu.serve import MultiCameraFlowScorer
+
+    ds, cfg, model, fnet, fvars = _train_two_stream(34, 0)
+    n, feeds = _camera_feeds(ds)
+
+    singles = []
+    for frames, boxes in feeds:
+        sc = FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW
+        )
+        singles.append(_stream(sc, frames, boxes, [n]))
+    singles = np.stack(singles, axis=1)  # (n, C)
+
+    fleet = MultiCameraFlowScorer.from_model(
+        model, n_cameras=2, flow_net=fnet, flow_variables=fvars,
+        flow_model_hw=FLOW_HW,
+    )
+    rows = _stream_fleet(fleet, feeds, n)
+    assert rows.shape == singles.shape
+    np.testing.assert_allclose(rows, singles, rtol=1e-5, atol=1e-5)
+
+
+def test_multicamera_live_flow_mesh_matches():
+    """The mesh-sharded fleet live-flow tick (cameras over devices, flow
+    + block weights replicated) scores exactly like the unsharded one."""
+    import jax
+
+    from vec_vad_tpu.parallel.mesh import get_mesh
+    from vec_vad_tpu.serve import MultiCameraFlowScorer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    ds, cfg, model, fnet, fvars = _train_two_stream(35, 0)
+    n, feeds2 = _camera_feeds(ds)
+    C = 8
+    feeds = [feeds2[c % 2] for c in range(C)]
+
+    kw = dict(
+        n_cameras=C, flow_net=fnet, flow_variables=fvars,
+        flow_model_hw=FLOW_HW,
+    )
+    base = MultiCameraFlowScorer.from_model(model, **kw)
+    sharded = MultiCameraFlowScorer.from_model(model, mesh=get_mesh(), **kw)
+    a = _stream_fleet(base, feeds, n)
+    b = _stream_fleet(sharded, feeds, n)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -894,10 +894,8 @@ class FlowStreamingScorer(StreamingScorer):
         fnet = self.flow_net
         mh, mw = self._flow_hw
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step_flow(ring, flow_ring, frame, ctrl, boxes, fw, *weights):
-            variables, stats = self._unweight(weights)
-            fvars = self._unpack_flow(fw)
+        def one_flow(ring, flow_ring, frame, ctrl, boxes,
+                     fvars, variables, stats):
             slot, prev_slot = ctrl[0], ctrl[1]
             of_slot, wflag = ctrl[2], ctrl[3]
             win = ctrl[4 : 4 + R]
@@ -925,6 +923,15 @@ class FlowStreamingScorer(StreamingScorer):
                 ring, flow_ring, win, owin, boxes, variables, stats
             )
             return ring, flow_ring, out
+
+        self._one_flow = one_flow  # reused by MultiCameraFlowScorer
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_flow(ring, flow_ring, frame, ctrl, boxes, fw, *weights):
+            variables, stats = self._unweight(weights)
+            fvars = self._unpack_flow(fw)
+            return one_flow(ring, flow_ring, frame, ctrl, boxes,
+                            fvars, variables, stats)
 
         return step_flow
 
@@ -1054,3 +1061,228 @@ class FlowStreamingScorer(StreamingScorer):
             "FlowStreamingScorer scores per push; micro-batching the "
             "flow-fused step is not implemented"
         )
+
+
+class MultiCameraFlowScorer(FlowStreamingScorer):
+    """Fleet serving with LIVE on-device flow: C tick-synchronized camera
+    streams, each frame's flow computed from its camera's ring inside ONE
+    device call per tick (the flow-fused per-frame body scanned over the
+    camera axis; `mesh=` shards cameras over devices with zero
+    collectives, as MultiCameraScorer).
+
+    Emission follows FlowStreamingScorer's flow lag per tick: tick 0
+    returns every camera's frame-0 score (degenerate (f0, f0) pairs),
+    tick 1 returns None, tick u returns the frame u-1 scores, and
+    end_video() flushes the last frames.
+
+    Camera streams share fleet-wide video boundaries (start_video /
+    end_video cut ALL cameras): the tick-synchronized fleet pattern is
+    continuous streams started and stopped together. For per-camera
+    mid-stream video cuts, serve that camera with its own
+    FlowStreamingScorer.
+    """
+
+    def __init__(self, cfg, variables=None, stats=None, *, n_cameras,
+                 mesh=None, **kw):
+        self.C = int(n_cameras)
+        if self.C < 1:
+            raise ValueError("n_cameras must be >= 1")
+        self.mesh = mesh
+        self._n_shards = (
+            int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        )
+        if self._n_shards > 1 and self.C % self._n_shards:
+            raise ValueError(
+                f"n_cameras={self.C} must divide evenly over the "
+                f"{self._n_shards}-device mesh"
+            )
+        super().__init__(cfg, variables, stats, **kw)
+        self._cam_scene = np.ones(self.C, np.int64)
+        self._tick = 0
+        self._tick_v0 = 0
+        self._first_frames = None
+        self._last_tick = None  # (frames, boxes_pad, nbs) of newest tick
+
+        one_flow = self._one_flow
+
+        def tick_flow(ring, flow_ring, frames, ctrls, boxes, fw, *weights):
+            variables, stats = self._unweight(weights)
+            fvars = self._unpack_flow(fw)
+
+            def body(_, xs):
+                r, fr, f, c, b = xs
+                r, fr, out = one_flow(r, fr, f, c, b, fvars, variables,
+                                      stats)
+                return (), (r, fr, out)
+
+            _, (ring, flow_ring, outs) = jax.lax.scan(
+                body, (), (ring, flow_ring, frames, ctrls, boxes)
+            )
+            return ring, flow_ring, outs
+
+        if self._n_shards > 1:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec
+
+            cam = PartitionSpec(self.mesh.axis_names[0])
+            rep = PartitionSpec()
+            tick_flow = shard_map(
+                tick_flow,
+                mesh=self.mesh,
+                in_specs=(cam,) * 5 + (rep,) * (1 + len(self._weight_args)),
+                out_specs=(cam, cam, cam),
+            )
+        self._tick_flow = partial(jax.jit, donate_argnums=(0, 1))(tick_flow)
+
+    def _ensure_rings(self, h: int, w: int) -> None:
+        if self._ring is not None:
+            return
+        shape_r = (self.C, self._rlen, h, w, 3)
+        shape_f = (self.C, self.R_of, h, w, 2)
+        if self._n_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(
+                self.mesh, PartitionSpec(self.mesh.axis_names[0])
+            )
+            self._ring = jax.device_put(np.zeros(shape_r, np.uint8), sh)
+            self._flow_ring = jax.device_put(np.zeros(shape_f, np.float32), sh)
+            return
+        self._ring = jnp.zeros(shape_r, jnp.uint8)
+        self._flow_ring = jnp.zeros(shape_f, jnp.float32)
+
+    # -- fleet stream state ----------------------------------------------
+
+    def start_video(self, scene=1) -> None:
+        """Start a fleet-wide video on every camera; `scene` is an int or
+        a per-camera sequence selecting block-grid scene rows."""
+        if self._tick > self._tick_v0 and not self._video_closed:
+            raise ValueError(
+                "end_video() must flush the previous videos before "
+                "start_video()"
+            )
+        self._tick_v0 = self._tick
+        self._cam_scene[:] = np.asarray(scene, np.int64)
+        self._video_closed = False
+        self._first_frames = None
+
+    def push(self, *a, **kw):
+        raise NotImplementedError("MultiCameraFlowScorer scores per tick; "
+                                  "use push_tick")
+
+    def _norm_frames(self, frames) -> np.ndarray:
+        frames = np.asarray(frames, np.uint8)
+        if frames.shape[0] != self.C:
+            raise ValueError(
+                f"expected {self.C} camera frames, got {frames.shape[0]}"
+            )
+        if self.gray_stream:
+            if frames.ndim == 4:
+                frames = frames[..., 0]
+        elif frames.ndim != 4:
+            raise ValueError("(C, H, W, 3) frames expected "
+                             "(or gray_stream=True)")
+        return frames
+
+    def _pad_boxes_tick(self, boxes_list):
+        boxes_pad = np.zeros((self.C, self.K, 4), np.float32)
+        nbs = []
+        for c in range(self.C):
+            b = np.asarray(boxes_list[c], np.float32).reshape(-1, 4)
+            if b.shape[0] > self.K:
+                raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
+            boxes_pad[c, : b.shape[0]] = b
+            nbs.append(b.shape[0])
+        return boxes_pad, nbs
+
+    def _fleet_ctrl(self, tpos, slot, prev_slot, wflag) -> np.ndarray:
+        """Tick ctrl rows: identical slot math for every camera (the
+        fleet is tick-synchronized), tiled to (C, len)."""
+        v0 = self._tick_v0
+        of_slot = (v0 + tpos) % self.R_of
+        win = (v0 + _predict_window(tpos, self.ctx)) % self._rlen
+        owin = (v0 + _predict_window(tpos, self.ctx_of)) % self.R_of
+        row = np.concatenate(
+            [[slot, prev_slot, of_slot, wflag], win, owin]
+        ).astype(np.int32)
+        return np.tile(row, (self.C, 1))
+
+    def _emit(self, outs, boxes_pad, nbs, scenes):
+        self._pending.append((outs, boxes_pad, nbs, scenes, False))
+        if len(self._pending) <= self.pipeline_depth:
+            return None
+        return self._finish_tick(*self._pending.popleft())
+
+    def push_tick(self, frames, boxes_list) -> Optional[List[float]]:
+        """Score one frame per camera; returns the PREVIOUS tick's C
+        scores (this tick's at tick 0; None at tick 1 and while any
+        pipeline_depth fills)."""
+        if self._video_closed:
+            raise ValueError("call start_video() first")
+        pos = self._tick - self._tick_v0
+        frames = self._norm_frames(frames)
+        boxes_pad, nbs = self._pad_boxes_tick(boxes_list)
+        self._ensure_rings(*frames.shape[1:3])
+        slot = self._tick % self._rlen
+        if pos == 0:
+            ctrls = self._fleet_ctrl(0, slot, slot, 1)
+            sb, snb = boxes_pad, nbs
+            self._first_frames = frames
+        else:
+            ctrls = self._fleet_ctrl(
+                pos - 1, slot, (self._tick - 1) % self._rlen,
+                1 if pos >= 2 else 0,
+            )
+            _, sb, snb = self._last_tick
+        self._ring, self._flow_ring, outs = self._tick_flow(
+            self._ring, self._flow_ring, frames, ctrls, sb,
+            self._flow_arg, *self._weight_args,
+        )
+        self._tick += 1
+        self._last_tick = (frames, boxes_pad, nbs)
+        if pos == 1:
+            return None
+        return self._emit(outs, sb, snb, self._cam_scene.copy())
+
+    def end_video(self) -> Optional[List[float]]:
+        """Flush every camera's last frame (see FlowStreamingScorer
+        .end_video for the tail pair rule)."""
+        if self._video_closed:
+            return None
+        self._video_closed = True
+        n = self._tick - self._tick_v0
+        if n < 2:
+            return None
+        _, boxes_pad, nbs = self._last_tick
+        g = self._tick - 1
+        if n == 2:
+            frames = self._first_frames
+            slot = prev_slot = self._tick_v0 % self._rlen
+        else:
+            frames = self._last_tick[0]
+            slot = g % self._rlen
+            prev_slot = (g - 1) % self._rlen
+        ctrls = self._fleet_ctrl(n - 1, slot, prev_slot, 1)
+        self._ring, self._flow_ring, outs = self._tick_flow(
+            self._ring, self._flow_ring, frames, ctrls, boxes_pad,
+            self._flow_arg, *self._weight_args,
+        )
+        return self._emit(outs, boxes_pad, nbs, self._cam_scene.copy())
+
+    def drain(self) -> List[List[float]]:
+        out = [self._finish_tick(*e) for e in self._pending]
+        self._pending.clear()
+        return out
+
+    def _finish_tick(self, outs, boxes_pad, nbs, scenes,
+                     skip_mag) -> List[float]:
+        outs = np.asarray(outs)  # ONE download for the whole fleet's tick
+        return [
+            self._finish(
+                outs[c], boxes_pad[c], nbs[c], int(scenes[c]), skip_mag
+            )
+            for c in range(self.C)
+        ]
