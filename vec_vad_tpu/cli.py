@@ -103,6 +103,12 @@ def cmd_serve(args) -> int:
     data = load_split(cfg, args.base, "test")
     live = bool(getattr(args, "live_flow", False))
     if live:
+        if not cfg.model.use_flow:
+            # fail BEFORE the expensive FlowNet2 build/checkpoint load
+            raise SystemExit(
+                "--live-flow needs a two-stream model (useFlow=True); "
+                "this config is raw-only"
+            )
         # no flow tree needed: flow is computed on device inside the
         # per-frame call (serve.FlowStreamingScorer)
         import jax
@@ -250,10 +256,20 @@ def cmd_flow_train(args) -> int:
     from vec_vad_tpu.flow.trainer import FlowTrainer
     from vec_vad_tpu.models import flownet
 
-    net_cls = getattr(flownet, args.net, None)
-    if net_cls is None or not isinstance(net_cls, type):
-        raise SystemExit(f"unknown flow net {args.net!r}")
-    net = net_cls()
+    # the multiscale harness trains the pyramid-returning component nets
+    # (what FlowNet2 fine-tuning actually retrains); the FlowNet2*
+    # composites take pair-major input and return one fused flow, which
+    # this loss cannot supervise — reject them with a pointer instead of
+    # crashing at trace time
+    trainable = {"FlowNetC", "FlowNetS", "FlowNetSD"}
+    if args.net not in trainable:
+        raise SystemExit(
+            f"--net {args.net!r} is not trainable here: flow-train "
+            "supervises the multi-scale pyramid of the component nets "
+            f"({', '.join(sorted(trainable))}). Fine-tune a component "
+            "and rebuild the composite from it."
+        )
+    net = getattr(flownet, args.net)()
 
     crop = (
         tuple(int(v) for v in args.crop_size.split(","))
@@ -450,8 +466,8 @@ def main(argv=None) -> int:
     )
     p.add_argument("--dstype", default="clean",
                    help="MpiSintel pass: clean | final")
-    p.add_argument("--net", default="FlowNet2S",
-                   help="FlowNetC/S/SD or FlowNet2/C/S/SD/CS/CSS")
+    p.add_argument("--net", default="FlowNetS",
+                   choices=["FlowNetC", "FlowNetS", "FlowNetSD"])
     p.add_argument("--workdir", required=True,
                    help="checkpoint/model_best directory")
     p.add_argument("--epochs", type=int, default=10)

@@ -78,6 +78,80 @@ def _predict_window(pos: int, ctx: int) -> np.ndarray:
     return start + np.maximum(t - pad, 0)
 
 
+def _pack_f32(tree):
+    """Flatten a pytree into one f32 device buffer for single-handle
+    argument marshaling: (packed, shapes, treedef), packed/shapes None
+    when any leaf is not float32 (pass the pytree through instead)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if all(l.dtype == jnp.float32 for l in leaves):
+        return (
+            jnp.concatenate([jnp.ravel(l) for l in leaves]),
+            [l.shape for l in leaves],
+            treedef,
+        )
+    return None, None, treedef
+
+
+def _unflatten_f32(buf, shapes, treedef):
+    """Inverse of _pack_f32 under trace (static offsets -> reshapes):
+    (tree, consumed_length)."""
+    leaves, o = [], 0
+    for shp in shapes:
+        sz = int(np.prod(shp))
+        leaves.append(buf[o : o + sz].reshape(shp))
+        o += sz
+    return jax.tree_util.tree_unflatten(treedef, leaves), o
+
+
+def _fleet_arity(n_cameras, mesh) -> Tuple[int, int]:
+    """Validated (C, n_shards) for a camera fleet over an optional mesh."""
+    C = int(n_cameras)
+    if C < 1:
+        raise ValueError("n_cameras must be >= 1")
+    n = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if n > 1 and C % n:
+        raise ValueError(
+            f"n_cameras={C} must divide evenly over the {n}-device mesh"
+        )
+    return C, n
+
+
+def _shard_over_cameras(fn, mesh, n_cam_args: int, n_rep_args: int):
+    """shard_map a fleet tick over the camera axis: the first n_cam_args
+    arguments shard on their leading (camera) dim, the trailing
+    n_rep_args (weights) replicate; outputs (ring, flow_ring, outs) are
+    camera-sharded. Zero collectives — cameras are independent."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    cam = PartitionSpec(mesh.axis_names[0])
+    rep = PartitionSpec()
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(cam,) * n_cam_args + (rep,) * n_rep_args,
+        out_specs=(cam, cam, cam),
+    )
+
+
+def _alloc_camera_rings(C, rlen, h, w, of_shape, mesh, n_shards):
+    """Fleet rings, pre-sharded on the camera axis when on a mesh so the
+    donated buffers round-trip the tick without resharding."""
+    shape_r = (C, rlen, h, w, 3)
+    if n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        return (
+            jax.device_put(np.zeros(shape_r, np.uint8), sh),
+            jax.device_put(np.zeros(of_shape, np.float32), sh),
+        )
+    return jnp.zeros(shape_r, jnp.uint8), jnp.zeros(of_shape, jnp.float32)
+
+
 class StreamingScorer:
     """Per-frame online scorer over a device-resident frame ring.
 
@@ -196,15 +270,15 @@ class StreamingScorer:
         # one-buffer weight marshaling (see __init__ docstring): flatten
         # every stacked leaf + the stats table into a single device array;
         # the jitted steps rebuild the pytree with static slices
-        leaves, self._wtree = jax.tree_util.tree_flatten(self._vars)
-        if pack_weights and all(l.dtype == jnp.float32 for l in leaves):
-            self._wshapes = [l.shape for l in leaves]
+        packed, self._wshapes, self._wtree = _pack_f32(self._vars)
+        if pack_weights and packed is not None:
             self._weight_args = (
-                jnp.concatenate(
-                    [jnp.ravel(l) for l in leaves]
-                    + [jnp.ravel(self._stats)]
-                ),
+                jnp.concatenate([packed, jnp.ravel(self._stats)]),
             )
+            # the stacked pytree is dead once packed — drop it so weight
+            # HBM residency stays 1x (only treedef/shapes are needed to
+            # rebuild the tree inside the jit)
+            self._vars = None
         else:
             self._wshapes = None
             self._weight_args = (self._vars, self._stats)
@@ -253,12 +327,7 @@ class StreamingScorer:
             variables, stats = weights
             return variables, stats
         (packed,) = weights
-        leaves, o = [], 0
-        for shp in self._wshapes:
-            sz = int(np.prod(shp))
-            leaves.append(packed[o : o + sz].reshape(shp))
-            o += sz
-        variables = jax.tree_util.tree_unflatten(self._wtree, leaves)
+        variables, o = _unflatten_f32(packed, self._wshapes, self._wtree)
         return variables, packed[o:].reshape(self.B, 5)
 
     def _build_step(self):
@@ -615,18 +684,8 @@ class MultiCameraScorer(StreamingScorer):
         ZERO collectives and scales linearly over ICI. Ignored for a
         1-device mesh (sharding annotations on a single device measurably
         slow the scan — CLAUDE.md)."""
-        self.C = int(n_cameras)
-        if self.C < 1:
-            raise ValueError("n_cameras must be >= 1")
+        self.C, self._n_shards = _fleet_arity(n_cameras, mesh)
         self.mesh = mesh
-        self._n_shards = (
-            int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-        )
-        if self._n_shards > 1 and self.C % self._n_shards:
-            raise ValueError(
-                f"n_cameras={self.C} must divide evenly over the "
-                f"{self._n_shards}-device mesh"
-            )
         super().__init__(cfg, variables, stats, **kw)
         self._cam_v0 = np.zeros(self.C, np.int64)
         self._cam_scene = np.ones(self.C, np.int64)
@@ -657,19 +716,8 @@ class MultiCameraScorer(StreamingScorer):
             return ring, flow_ring, outs
 
         if self._n_shards > 1:
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
-            from jax.sharding import PartitionSpec
-
-            cam = PartitionSpec(self.mesh.axis_names[0])
-            rep = PartitionSpec()
-            tick = shard_map(
-                tick,
-                mesh=self.mesh,
-                in_specs=(cam,) * 6 + (rep,) * len(self._weight_args),
-                out_specs=(cam, cam, cam),
+            tick = _shard_over_cameras(
+                tick, self.mesh, 6, len(self._weight_args)
             )
         self._step_tick = partial(jax.jit, donate_argnums=(0, 1))(tick)
 
@@ -772,23 +820,9 @@ class MultiCameraScorer(StreamingScorer):
             (self.C, self.R_of, h, w, 2) if self.use_flow
             else (self.C, 1, 1, 1, 2)
         )
-        if self._n_shards > 1:
-            # allocate rings already sharded on the camera axis so the
-            # donated buffers round-trip the tick without resharding
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            sh = NamedSharding(
-                self.mesh, PartitionSpec(self.mesh.axis_names[0])
-            )
-            self._ring = jax.device_put(
-                np.zeros((self.C, self.R, h, w, 3), np.uint8), sh
-            )
-            self._flow_ring = jax.device_put(
-                np.zeros(of_shape, np.float32), sh
-            )
-            return
-        self._ring = jnp.zeros((self.C, self.R, h, w, 3), jnp.uint8)
-        self._flow_ring = jnp.zeros(of_shape, jnp.float32)
+        self._ring, self._flow_ring = _alloc_camera_rings(
+            self.C, self.R, h, w, of_shape, self.mesh, self._n_shards
+        )
 
     def drain(self) -> List[List[float]]:
         """Materialize the tick scores still in flight (stream end)."""
@@ -860,13 +894,8 @@ class FlowStreamingScorer(StreamingScorer):
         super().__init__(cfg, variables, stats, **kw)
         self.flow_net = flow_net
         self._flow_hw = tuple(flow_model_hw)
-        fleaves, self._ftree = jax.tree_util.tree_flatten(flow_variables)
-        if all(l.dtype == jnp.float32 for l in fleaves):
-            self._fshapes = [l.shape for l in fleaves]
-            self._flow_arg = jnp.concatenate([jnp.ravel(l) for l in fleaves])
-        else:
-            self._fshapes = None
-            self._flow_arg = flow_variables
+        packed, self._fshapes, self._ftree = _pack_f32(flow_variables)
+        self._flow_arg = packed if packed is not None else flow_variables
         self._step_flow = self._build_flow_step()
         self._last = None  # (frame, boxes_pad, nb) of the newest push
         self._first = None  # first frame of the current video (N=2 tail)
@@ -878,17 +907,13 @@ class FlowStreamingScorer(StreamingScorer):
     def _unpack_flow(self, fw):
         if self._fshapes is None:
             return fw
-        leaves, o = [], 0
-        for shp in self._fshapes:
-            sz = int(np.prod(shp))
-            leaves.append(fw[o : o + sz].reshape(shp))
-            o += sz
-        return jax.tree_util.tree_unflatten(self._ftree, leaves)
+        return _unflatten_f32(fw, self._fshapes, self._ftree)[0]
 
     def _build_flow_step(self):
         from vec_vad_tpu.flow.driver import resize_bilinear
 
         R, R_of = self.R, self.R_of
+        B, K = self.B, self.K
         write_frame = self._write_frame
         score_from_rings = self._score_from_rings
         fnet = self.flow_net
@@ -903,25 +928,37 @@ class FlowStreamingScorer(StreamingScorer):
 
             ring = write_frame(ring, frame, slot)
             H, W = ring.shape[1], ring.shape[2]
-            pair = jnp.stack(
-                [jnp.take(ring, prev_slot, axis=0),
-                 jnp.take(ring, slot, axis=0)]
-            )  # (2, H, W, 3) uint8
-            # the driver's protocol exactly (flow/driver.py run_chunk):
-            # cv2-parity resize to model_hw, forward, resize back WITHOUT
-            # magnitude rescaling
-            pr = resize_bilinear(pair, mh, mw)
-            flow = fnet.apply(fvars, pr[None])
-            flow = resize_bilinear(flow, H, W)[0]  # (H, W, 2)
-            written = jax.lax.dynamic_update_slice(
-                flow_ring, flow[None], (of_slot, 0, 0, 0)
-            )
-            # wflag=0 protects flow[0] = net(f0, f0) at the u=1 push
-            # (where flow(0->1) is computed but used by no frame)
-            flow_ring = jnp.where(wflag > 0, written, flow_ring)
-            out = score_from_rings(
-                ring, flow_ring, win, owin, boxes, variables, stats
-            )
+
+            def live(fr):
+                pair = jnp.stack(
+                    [jnp.take(ring, prev_slot, axis=0),
+                     jnp.take(ring, slot, axis=0)]
+                )  # (2, H, W, 3) uint8
+                # the driver's protocol exactly (flow/driver.py
+                # run_chunk): cv2-parity resize to model_hw, forward,
+                # resize back WITHOUT magnitude rescaling
+                pr = resize_bilinear(pair, mh, mw)
+                flow = fnet.apply(fvars, pr[None])
+                flow = resize_bilinear(flow, H, W)[0]  # (H, W, 2)
+                fr = jax.lax.dynamic_update_slice(
+                    fr, flow[None], (of_slot, 0, 0, 0)
+                )
+                return fr, score_from_rings(
+                    ring, fr, win, owin, boxes, variables, stats
+                )
+
+            def skip(fr):
+                # the u=1 push only advances the rings: flow(0->1) is
+                # used by no frame (flow[0] stays net(f0, f0)) and its
+                # score is discarded — skip the whole FlowNet + ensemble.
+                # (+ 0*fr[...] marks the constant as mesh-axis-varying so
+                # the branch types match the live one under shard_map)
+                return fr, jnp.zeros(
+                    (B * K + K,), jnp.float32
+                ) + 0.0 * fr[0, 0, 0, 0]
+
+            # wflag=1 exactly when the result is consumed
+            flow_ring, out = jax.lax.cond(wflag > 0, live, skip, flow_ring)
             return ring, flow_ring, out
 
         self._one_flow = one_flow  # reused by MultiCameraFlowScorer
@@ -1084,18 +1121,8 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
 
     def __init__(self, cfg, variables=None, stats=None, *, n_cameras,
                  mesh=None, **kw):
-        self.C = int(n_cameras)
-        if self.C < 1:
-            raise ValueError("n_cameras must be >= 1")
+        self.C, self._n_shards = _fleet_arity(n_cameras, mesh)
         self.mesh = mesh
-        self._n_shards = (
-            int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-        )
-        if self._n_shards > 1 and self.C % self._n_shards:
-            raise ValueError(
-                f"n_cameras={self.C} must divide evenly over the "
-                f"{self._n_shards}-device mesh"
-            )
         super().__init__(cfg, variables, stats, **kw)
         self._cam_scene = np.ones(self.C, np.int64)
         self._tick = 0
@@ -1121,38 +1148,18 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
             return ring, flow_ring, outs
 
         if self._n_shards > 1:
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
-            from jax.sharding import PartitionSpec
-
-            cam = PartitionSpec(self.mesh.axis_names[0])
-            rep = PartitionSpec()
-            tick_flow = shard_map(
-                tick_flow,
-                mesh=self.mesh,
-                in_specs=(cam,) * 5 + (rep,) * (1 + len(self._weight_args)),
-                out_specs=(cam, cam, cam),
+            tick_flow = _shard_over_cameras(
+                tick_flow, self.mesh, 5, 1 + len(self._weight_args)
             )
         self._tick_flow = partial(jax.jit, donate_argnums=(0, 1))(tick_flow)
 
     def _ensure_rings(self, h: int, w: int) -> None:
         if self._ring is not None:
             return
-        shape_r = (self.C, self._rlen, h, w, 3)
-        shape_f = (self.C, self.R_of, h, w, 2)
-        if self._n_shards > 1:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            sh = NamedSharding(
-                self.mesh, PartitionSpec(self.mesh.axis_names[0])
-            )
-            self._ring = jax.device_put(np.zeros(shape_r, np.uint8), sh)
-            self._flow_ring = jax.device_put(np.zeros(shape_f, np.float32), sh)
-            return
-        self._ring = jnp.zeros(shape_r, jnp.uint8)
-        self._flow_ring = jnp.zeros(shape_f, jnp.float32)
+        self._ring, self._flow_ring = _alloc_camera_rings(
+            self.C, self._rlen, h, w, (self.C, self.R_of, h, w, 2),
+            self.mesh, self._n_shards,
+        )
 
     # -- fleet stream state ----------------------------------------------
 
@@ -1272,17 +1279,7 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
         )
         return self._emit(outs, boxes_pad, nbs, self._cam_scene.copy())
 
-    def drain(self) -> List[List[float]]:
-        out = [self._finish_tick(*e) for e in self._pending]
-        self._pending.clear()
-        return out
-
-    def _finish_tick(self, outs, boxes_pad, nbs, scenes,
-                     skip_mag) -> List[float]:
-        outs = np.asarray(outs)  # ONE download for the whole fleet's tick
-        return [
-            self._finish(
-                outs[c], boxes_pad[c], nbs[c], int(scenes[c]), skip_mag
-            )
-            for c in range(self.C)
-        ]
+    # the fleet drain/download plumbing is identical to the
+    # precomputed-flow fleet's
+    drain = MultiCameraScorer.drain
+    _finish_tick = MultiCameraScorer._finish_tick
