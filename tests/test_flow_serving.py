@@ -293,3 +293,25 @@ def test_multicamera_live_flow_mesh_matches():
     a = _stream_fleet(base, feeds, n)
     b = _stream_fleet(sharded, feeds, n)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_live_flow_gray_matches_rgb():
+    """gray_stream live-flow == RGB live-flow on the replicated frames:
+    the ring replication feeds the SAME 3-channel pair into the flow net
+    that cv2's gray->BGR load would (and the offline driver's C==1
+    replicate-then-resize commutes with resize-then-replicate)."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(36, 0)
+    n = int(ds.test_video_lengths[0])
+    gray = ds.test_frames[:n, :, :, 0]
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+
+    kw = dict(flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW)
+    a = _stream(
+        FlowStreamingScorer.from_model(model, gray_stream=True, **kw),
+        gray, ds.test_boxes, [n],
+    )
+    b = _stream(
+        FlowStreamingScorer.from_model(model, **kw),
+        rgb, ds.test_boxes, [n],
+    )
+    np.testing.assert_array_equal(a, b)
