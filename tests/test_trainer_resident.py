@@ -153,3 +153,48 @@ def test_train_model_float_cubes_stay_sequential(rng):
     finally:
         gt_mod.get_grid_trainer = real
     assert np.isfinite(sc).all()
+
+
+def test_flow_config_without_flow_trains_raw_only():
+    """A two-stream CONFIG whose cubes carry no flow stream must produce
+    of_stats=None blocks (the documented raw-only degradation marker)
+    with finite weights and raw scores. Regression: the 1-row dummy
+    of_buf was gathered with real cube indices, and jnp.take's NaN-fill
+    OOB mode silently NaN'd the flow UNet and its training scores —
+    serving such a model emitted nan frame scores."""
+    import jax
+
+    from vec_vad_tpu.config import (
+        CompletionConfig,
+        ForegroundConfig,
+        PipelineConfig,
+    )
+    from vec_vad_tpu.pipeline import make_trainer
+
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=16, max_boxes_per_frame=8),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=8, context_of_num=0, use_flow=True
+        ),
+    )
+    tr = make_trainer(cfg)
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (20, 16, 16, 15), dtype=np.uint8)
+    blk = tr.fit_block(raw, None)
+    assert blk.of_scores is None and blk.of_stats is None
+    assert np.isfinite(blk.raw_scores).all()
+    for leaf in jax.tree_util.tree_leaves(blk.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # the grid fan-out path must degrade identically
+    from vec_vad_tpu.parallel.mesh import get_mesh
+    from vec_vad_tpu.train.grid_trainer import GridTrainer
+
+    gt = GridTrainer(tr.net, cfg.model, get_mesh(jax.devices()[:1]), 16)
+    blocks = gt.fit_blocks(
+        [((0, 0, 0), raw, None), ((0, 0, 1), raw[:10], None)]
+    )
+    for b in blocks.values():
+        assert b.of_scores is None and b.of_stats is None
+        assert np.isfinite(b.raw_scores).all()

@@ -81,6 +81,89 @@ def cmd_test(args) -> int:
     return 0
 
 
+def _build_live_flow(args):
+    """FlowNet2 + variables for --live-flow (checkpoint or random)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.models.flownet import FlowNet2, load_flownet2_checkpoint
+
+    fnet = FlowNet2()
+    x0 = jnp.zeros((1, 2, 384, 512, 3))
+    if args.flow_checkpoint:
+        fvars, report = load_flownet2_checkpoint(fnet, x0, args.flow_checkpoint)
+        print(f"loaded flow checkpoint: {len(report['matched'])} tensors")
+    else:
+        fvars = fnet.init(jax.random.key(0), x0)
+        print("WARNING: no --flow-checkpoint — random-init FlowNet2")
+    return fnet, fvars
+
+
+def _serve_fleet(cfg, model, data, args, live: bool) -> int:
+    """`serve --cameras C`: every camera streams the test split's first
+    video in lockstep (one fused device call per tick). Identical
+    per-camera inputs double as an on-hardware cross-camera consistency
+    check; reports per-tick latency and aggregate fleet fps."""
+    import time
+
+    import numpy as np
+
+    C = int(args.cameras)
+    ln = int(data.index.video_lengths[0])
+    n = ln if args.frames <= 0 else min(args.frames, ln)
+
+    if live:
+        from vec_vad_tpu.serve import MultiCameraFlowScorer
+
+        fnet, fvars = _build_live_flow(args)
+        scorer = MultiCameraFlowScorer.from_model(
+            model, n_cameras=C, flow_net=fnet, flow_variables=fvars
+        )
+    else:
+        from vec_vad_tpu.serve import MultiCameraScorer
+
+        scorer = MultiCameraScorer.from_model(model, n_cameras=C)
+
+    scorer.start_video()
+    rows, lat = [], []
+    for t in range(n):
+        frame = np.asarray(data.frames[t])
+        frames = np.broadcast_to(frame, (C,) + frame.shape)
+        boxes = [data.boxes[t]] * C
+        t0 = time.perf_counter()
+        if live:
+            out = scorer.push_tick(frames, boxes)
+        else:
+            flow = (
+                np.asarray(data.flow[t])
+                if scorer.use_flow and data.flow is not None
+                else None
+            )
+            flows = (
+                np.broadcast_to(flow, (C,) + flow.shape)
+                if flow is not None else None
+            )
+            out = scorer.push_tick(frames, boxes, flows=flows)
+        lat.append(time.perf_counter() - t0)
+        if out is not None:
+            rows.append(out)
+    if live:
+        out = scorer.end_video()
+        if out is not None:
+            rows.append(out)
+    rows.extend(scorer.drain())
+    lat = np.array(lat[2:]) if len(lat) > 2 else np.array(lat)
+    med = float(np.median(lat)) * 1e3
+    rows = np.asarray(rows, np.float32)
+    spread = float(np.max(np.abs(rows - rows[:, :1]))) if rows.size else 0.0
+    print(
+        f"fleet of {C} cameras, {len(lat)} timed ticks: median "
+        f"{med:.1f} ms/tick = {C * 1000.0 / max(med, 1e-9):.1f} fps "
+        f"aggregate; cross-camera score spread {spread:.2e}"
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Online serving demo/driver: stream the test split frame-by-frame
     through serve.StreamingScorer (one device call per frame) and report
@@ -102,34 +185,18 @@ def cmd_serve(args) -> int:
     model = load_vad_model(model_path)
     data = load_split(cfg, args.base, "test")
     live = bool(getattr(args, "live_flow", False))
-    if live:
-        if not cfg.model.use_flow:
-            # fail BEFORE the expensive FlowNet2 build/checkpoint load
-            raise SystemExit(
-                "--live-flow needs a two-stream model (useFlow=True); "
-                "this config is raw-only"
-            )
-        # no flow tree needed: flow is computed on device inside the
-        # per-frame call (serve.FlowStreamingScorer)
-        import jax
-        import jax.numpy as jnp
-
-        from vec_vad_tpu.models.flownet import (
-            FlowNet2,
-            load_flownet2_checkpoint,
+    if live and not cfg.model.use_flow:
+        # fail BEFORE the expensive FlowNet2 build/checkpoint load
+        raise SystemExit(
+            "--live-flow needs a two-stream model (useFlow=True); "
+            "this config is raw-only"
         )
+    if int(getattr(args, "cameras", 1)) > 1:
+        return _serve_fleet(cfg, model, data, args, live)
+    if live:
         from vec_vad_tpu.serve import FlowStreamingScorer
 
-        fnet = FlowNet2()
-        x0 = jnp.zeros((1, 2, 384, 512, 3))
-        if args.flow_checkpoint:
-            fvars, report = load_flownet2_checkpoint(
-                fnet, x0, args.flow_checkpoint
-            )
-            print(f"loaded flow checkpoint: {len(report['matched'])} tensors")
-        else:
-            fvars = fnet.init(jax.random.key(0), x0)
-            print("WARNING: no --flow-checkpoint — random-init FlowNet2")
+        fnet, fvars = _build_live_flow(args)
         scorer = FlowStreamingScorer.from_model(
             model, flow_net=fnet, flow_variables=fvars
         )
@@ -416,6 +483,11 @@ def main(argv=None) -> int:
         "--live-flow", action="store_true",
         help="compute optical flow ON DEVICE inside the per-frame call "
         "(no precomputed flow tree needed; two-stream models only)",
+    )
+    p.add_argument(
+        "--cameras", type=int, default=1,
+        help="fleet mode: C cameras stream the first test video in "
+        "lockstep, one device call per tick (MultiCameraScorer)",
     )
     p.add_argument(
         "--flow-checkpoint", default=None,

@@ -117,7 +117,14 @@ class GridTrainer:
                 ii, w, act = step_inputs
                 x = jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
                 if cfg.use_flow:
-                    x_of = jnp.take(of_buf, ii, axis=0)
+                    # minimum-clamp: a flow-less fit passes a 1-row dummy of_buf
+                    # and jnp.take's default OOB mode FILLS WITH NaN —
+                    # which silently NaN'd the flow UNet (its loss reads
+                    # x_of as the target) while the raw stream trained on
+                    # (clamped reads return the dummy's zero row)
+                    x_of = jnp.take(
+                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0
+                    )
                 else:
                     x_of = jnp.zeros(
                         x.shape[:-1] + (net.tot_of_num * net.of_channels,)
@@ -146,7 +153,14 @@ class GridTrainer:
             def body(ii):
                 x = jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
                 if cfg.use_flow:
-                    x_of = jnp.take(of_buf, ii, axis=0)
+                    # minimum-clamp: a flow-less fit passes a 1-row dummy of_buf
+                    # and jnp.take's default OOB mode FILLS WITH NaN —
+                    # which silently NaN'd the flow UNet (its loss reads
+                    # x_of as the target) while the raw stream trained on
+                    # (clamped reads return the dummy's zero row)
+                    x_of = jnp.take(
+                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0
+                    )
                 else:
                     x_of = jnp.zeros(
                         x.shape[:-1] + (net.tot_of_num * net.of_channels,)
@@ -275,7 +289,9 @@ class GridTrainer:
                     lambda v: v[bi], host_states.batch_stats
                 ),
                 raw_scores=raw_sc[bi, :n],
-                of_scores=of_sc[bi, :n] if cfg.use_flow else None,
+                # has_flow, not use_flow: a flow-less fit must mark its
+                # blocks of_stats=None (raw-only fusion), like fit_block
+                of_scores=of_sc[bi, :n] if has_flow else None,
             )
         return out
 

@@ -225,7 +225,14 @@ class BlockTrainer:
                     jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
                 )
                 if cfg.use_flow:
-                    x_of = jnp.take(of_buf, ii, axis=0)
+                    # minimum-clamp: a flow-less fit passes a 1-row dummy of_buf
+                    # and jnp.take's default OOB mode FILLS WITH NaN —
+                    # which silently NaN'd the flow UNet (its loss reads
+                    # x_of as the target) while the raw stream trained on
+                    # (clamped reads return the dummy's zero row)
+                    x_of = jnp.take(
+                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0
+                    )
                 else:
                     x_of = jnp.zeros(
                         x.shape[:-1] + (net.tot_of_num * net.of_channels,)
@@ -251,7 +258,14 @@ class BlockTrainer:
                     if scale:
                         x = x / 255.0
                     if cfg.use_flow:
-                        x_of = jnp.take(of_buf, ii, axis=0)
+                        # minimum-clamp (see train_scan): the 1-row dummy
+                        # of_buf + jnp.take's NaN-fill OOB mode poisoned
+                        # flow-less scoring
+                        x_of = jnp.take(
+                            of_buf,
+                            jnp.minimum(ii, of_buf.shape[0] - 1),
+                            axis=0,
+                        )
                     else:
                         x_of = jnp.zeros(
                             x.shape[:-1]
@@ -364,7 +378,12 @@ class BlockTrainer:
             raw_scores.append(r)
             of_scores.append(o)
         raw_sc = np.concatenate(raw_scores)
-        of_sc = np.concatenate(of_scores) if cfg.use_flow else None
+        # of_stats=None is the documented "trained WITHOUT a flow stream"
+        # marker (serving/fusion degrade to raw-only on it) — a two-stream
+        # CONFIG whose extraction had no flow tree must produce it, not a
+        # zeros-scored stats pair
+        has_of = cfg.use_flow and of_inputs is not None
+        of_sc = np.concatenate(of_scores) if has_of else None
         return TrainedBlock(
             params=jax.device_get(state.params),
             batch_stats=jax.device_get(state.batch_stats),
