@@ -120,3 +120,46 @@ def test_grid_end_to_end_auroc_matches_sequential(grid_world):
         )
         aurocs.append(roc_auc_score(frame_scores, ds.test_labels))
     assert abs(aurocs[0] - aurocs[1]) < 5e-3, aurocs
+
+
+def test_grid_parallel_two_stream_matches_sequential(grid_world):
+    """The grid fan-out's FLOW stream (of_buf gathers + of training
+    scores) must reproduce the sequential trainer too — raw-only
+    coverage would have missed a flow-side regression (e.g. the
+    jnp.take NaN-fill dummy-buffer bug)."""
+    ds, cfg_raw, _, _, _ = grid_world
+    import dataclasses
+
+    from vec_vad_tpu.config import DATASETS
+
+    cfg = cfg_raw.replace(
+        model=dataclasses.replace(cfg_raw.model, use_flow=True)
+    )
+    spec = DATASETS["synthGrid"]
+    train_idx = VideoIndex(["t0", "t1"], ds.train_video_lengths)
+    d = np.diff(
+        ds.train_frames.astype(np.float32).mean(-1), axis=0,
+        append=ds.train_frames[-1:].mean(-1),
+    )
+    tr_flow = np.stack([d, -d], axis=-1) / 25.0
+    cubes = extract_cube_set(
+        cfg, spec, train_idx, ds.train_frames, ds.train_boxes,
+        flow_frames=tr_flow,
+    )
+    trainer = make_trainer(cfg)
+    m_par = train_model(
+        cfg, cubes, trainer=trainer, seed=5, parallel_blocks=True
+    )
+    m_seq = train_model(
+        cfg, cubes, trainer=trainer, seed=5, parallel_blocks=False
+    )
+    assert set(m_par.blocks) == set(m_seq.blocks) and len(m_par.blocks) >= 2
+    for key in m_seq.blocks:
+        a, b = m_par.blocks[key], m_seq.blocks[key]
+        assert a.of_scores is not None and b.of_scores is not None
+        np.testing.assert_allclose(
+            a.raw_scores, b.raw_scores, rtol=2e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            a.of_scores, b.of_scores, rtol=2e-3, atol=1e-4
+        )
