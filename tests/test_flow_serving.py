@@ -315,3 +315,66 @@ def test_live_flow_gray_matches_rgb():
         rgb, ds.test_boxes, [n],
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_live_flow_grid_matches_pushed_flow():
+    """Live-flow serving on a MULTI-BLOCK grid model == the base
+    streaming scorer fed the driver-precomputed flow: grid routing and
+    the flow-lag emission schedule compose."""
+    from vec_vad_tpu.config import register_dataset
+    from vec_vad_tpu.serve import StreamingScorer
+
+    spec = DatasetSpec(
+        name="synthFlowGrid", frame_h=48, frame_w=64, file_ext=".tif",
+        scene_num=1, ap_score_thr=0.5, ap_min_area=16.0, cover_thr=0.6,
+        mt_area_thr=16.0, mt_binary_thr=18.0, mt_extend=2,
+        mt_gauss_mask_size=3,
+    )
+    register_dataset(spec)
+    ds = make_synthetic_dataset(
+        frames_per_video=14, n_train_videos=2, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=41,
+    )
+    cfg = PipelineConfig(
+        dataset_name="synthFlowGrid",
+        fore=ForegroundConfig(
+            patch_size=16, max_boxes_per_frame=8, h_block=2, w_block=2
+        ),
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+        ),
+    )
+    fnet, fvars = _flow_net()
+    tr_idx = VideoIndex(["t0", "t1"], ds.train_video_lengths)
+    tr_flow = compute_optical_flow(
+        fnet, fvars, tr_idx, ds.train_frames, model_hw=FLOW_HW
+    )
+    cubes = extract_cube_set(
+        cfg, spec, tr_idx, ds.train_frames, ds.train_boxes,
+        flow_frames=tr_flow,
+    )
+    model = train_model(cfg, cubes, trainer=make_trainer(cfg))
+    assert len(model.blocks) >= 2  # actually a grid
+
+    te_idx = VideoIndex(["a"], ds.test_video_lengths)
+    te_flow = compute_optical_flow(
+        fnet, fvars, te_idx, ds.test_frames, model_hw=FLOW_HW
+    )
+    n = int(ds.test_video_lengths[0])
+    base = StreamingScorer.from_model(model, route_hw=(48, 64))
+    base.start_video()
+    pushed = np.asarray(
+        [
+            base.push(ds.test_frames[t], ds.test_boxes[t], flow=te_flow[t])
+            for t in range(n)
+        ],
+        np.float32,
+    )
+    live = _stream(
+        FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars,
+            flow_model_hw=FLOW_HW, route_hw=(48, 64),
+        ),
+        ds.test_frames, ds.test_boxes, [n],
+    )
+    np.testing.assert_allclose(live, pushed, rtol=2e-4, atol=2e-4)
