@@ -91,7 +91,45 @@ def pallas_correlation_check() -> dict:
     return out
 
 
+def _require_backend(timeout_s: float = 240.0) -> bool:
+    """Bounded backend init. The remote relay has been observed to go
+    UNAVAILABLE for hours, during which jax.devices() HANGS ~25 min
+    before raising — a bench run caught in that window must emit an
+    honest error record instead of hanging the driver."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
+    if not _require_backend():
+        import os
+
+        print(json.dumps({
+            "metric": "e2e_fps",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (relay outage): "
+                     "jax.devices() did not come up within 240 s",
+        }))
+        # the hung probe thread would block interpreter teardown
+        os._exit(0)
+
     import jax
 
     from vec_vad_tpu.runtime import enable_persistent_compile_cache
