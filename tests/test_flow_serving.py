@@ -378,3 +378,38 @@ def test_live_flow_grid_matches_pushed_flow():
         ds.test_frames, ds.test_boxes, [n],
     )
     np.testing.assert_allclose(live, pushed, rtol=2e-4, atol=2e-4)
+
+
+def test_live_flow_push_many_matches_push():
+    """Micro-batched live-flow (k frames per device call) emits exactly
+    the per-push score sequence, across uneven chunking and video ends."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(42, 0)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    kw = dict(flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW)
+
+    ref = _stream(
+        FlowStreamingScorer.from_model(model, **kw),
+        ds.test_frames, ds.test_boxes, te_idx.video_lengths,
+    )
+
+    scorer = FlowStreamingScorer.from_model(model, **kw)
+    out, i = [], 0
+    for ln in te_idx.video_lengths:
+        scorer.start_video()
+        todo = int(ln)
+        for chunk in (5, 3, 6):  # uneven chunks covering the 14 frames
+            sel = slice(i, i + min(chunk, todo))
+            out.extend(
+                scorer.push_many(
+                    ds.test_frames[sel], list(ds.test_boxes[sel.start:sel.stop])
+                )
+            )
+            i += min(chunk, todo)
+            todo -= min(chunk, todo)
+        s = scorer.end_video()
+        if s is not None:
+            out.append(s)
+    out.extend(scorer.drain())
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, rtol=1e-5, atol=1e-5
+    )

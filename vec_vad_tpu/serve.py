@@ -970,6 +970,28 @@ class FlowStreamingScorer(StreamingScorer):
             return one_flow(ring, flow_ring, frame, ctrl, boxes,
                             fvars, variables, stats)
 
+        # micro-batched variant (the live-flow analog of the base class's
+        # step_many): ONE device call advances k frames, each scoring its
+        # predecessor — amortizes the per-call relay round trip k-fold
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_flow_many(ring, flow_ring, frames, ctrls, boxes,
+                           fw, *weights):
+            variables, stats = self._unweight(weights)
+            fvars = self._unpack_flow(fw)
+
+            def body(carry, xs):
+                r, fr = carry
+                f, c, b = xs
+                r, fr, out = one_flow(r, fr, f, c, b, fvars, variables,
+                                      stats)
+                return (r, fr), out
+
+            (ring, flow_ring), outs = jax.lax.scan(
+                body, (ring, flow_ring), (frames, ctrls, boxes)
+            )
+            return ring, flow_ring, outs
+
+        self._step_flow_many = step_flow_many
         return step_flow
 
     # -- streaming API ---------------------------------------------------
@@ -1093,11 +1115,66 @@ class FlowStreamingScorer(StreamingScorer):
             return None
         return self._finish(*self._pending.popleft())
 
-    def push_many(self, *a, **kw):
-        raise NotImplementedError(
-            "FlowStreamingScorer scores per push; micro-batching the "
-            "flow-fused step is not implemented"
+    def push_many(self, frames, boxes_list) -> List[float]:
+        """Micro-batched live-flow: ONE device call advances k frames of
+        the CURRENT video (no start_video between them), each scoring
+        its predecessor with the usual one-push lag. Returns the scores
+        emitted by this call, in frame order (k-1 of them steady-state;
+        k at a video's first batch; fewer while pipeline_depth fills —
+        end_video() still flushes the final frame). Buffers k frame
+        intervals; use push() for latency-critical streams."""
+        if self._video_closed:
+            raise ValueError("call start_video() first")
+        frames = np.asarray(frames, np.uint8)
+        if self.gray_stream:
+            if frames.ndim == 4:
+                frames = frames[..., 0]
+        elif frames.ndim != 4:
+            raise ValueError("(k, H, W, 3) frames expected "
+                             "(or gray_stream=True)")
+        k = frames.shape[0]
+        if k == 0:
+            return []
+        self._ensure_rings(*frames.shape[1:3])
+
+        ctrls = np.zeros((k, 4 + self.R + self.R_of), np.int32)
+        sboxes = np.zeros((k, self.K, 4), np.float32)
+        emits = []
+        prev = self._last
+        for j in range(k):
+            g = self._n_pushed + j
+            pos = g - self._v0
+            bp, nb = self._pad_boxes(boxes_list[j])
+            slot = g % self._rlen
+            if pos == 0:
+                ctrls[j] = self._flow_ctrl(0, slot, slot, 1)
+                sb, snb = bp, nb
+                self._first = frames[j]
+            else:
+                ctrls[j] = self._flow_ctrl(
+                    pos - 1, slot, (g - 1) % self._rlen,
+                    1 if pos >= 2 else 0,
+                )
+                _, sb, snb = prev
+            sboxes[j] = sb
+            emits.append((pos != 1, sb, snb))
+            prev = (frames[j], bp, nb)
+        self._last = prev
+
+        self._ring, self._flow_ring, outs = self._step_flow_many(
+            self._ring, self._flow_ring, frames, ctrls, sboxes,
+            self._flow_arg, *self._weight_args,
         )
+        self._n_pushed += k
+        outs = np.asarray(outs)  # one download for all k frames
+        scores = []
+        for j, (emit, sb, snb) in enumerate(emits):
+            if not emit:
+                continue
+            self._pending.append((outs[j], sb, snb, self._scene, False))
+            if len(self._pending) > self.pipeline_depth:
+                scores.append(self._finish(*self._pending.popleft()))
+        return scores
 
 
 class MultiCameraFlowScorer(FlowStreamingScorer):
