@@ -91,32 +91,41 @@ def pallas_correlation_check() -> dict:
     return out
 
 
-def _require_backend(timeout_s: float = 240.0) -> bool:
+def _require_backend(timeout_s: float = 240.0):
     """Bounded backend init. The remote relay has been observed to go
     UNAVAILABLE for hours, during which jax.devices() HANGS ~25 min
     before raising — a bench run caught in that window must emit an
-    honest error record instead of hanging the driver."""
+    honest error record instead of hanging the driver. Returns None on
+    success, else the failure description (a raise-fast error is
+    reported verbatim so an environment bug is not misdiagnosed as a
+    transient outage)."""
     import threading
 
-    ok = []
+    result = []
 
     def probe():
         try:
             import jax
 
             jax.devices()
-            ok.append(True)
-        except Exception:
-            pass
+            result.append(None)
+        except Exception as e:  # report, don't swallow
+            result.append(f"backend init raised: {e!r}")
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(ok)
+    if not result:
+        return (
+            f"jax.devices() did not come up within {timeout_s:.0f} s "
+            "(relay outage)"
+        )
+    return result[0]
 
 
 def main() -> None:
-    if not _require_backend():
+    err = _require_backend()
+    if err is not None:
         import os
 
         print(json.dumps({
@@ -124,10 +133,9 @@ def main() -> None:
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "error": "TPU backend unavailable (relay outage): "
-                     "jax.devices() did not come up within 240 s",
+            "error": f"TPU backend unavailable: {err}",
         }))
-        # the hung probe thread would block interpreter teardown
+        # a possibly-hung probe thread would block interpreter teardown
         os._exit(0)
 
     import jax

@@ -124,7 +124,12 @@ def _serve_fleet(cfg, model, data, args, live: bool) -> int:
 
         scorer = MultiCameraScorer.from_model(model, n_cameras=C)
 
-    scorer.start_video()
+    # route through the first video's scene row (multi-scene grids would
+    # mis-route through scene 1 otherwise — same rule as the single path)
+    scene_idx = data.index.scene_idx
+    scorer.start_video(
+        scene=int(scene_idx[0]) if scene_idx is not None else 1
+    )
     rows, lat = [], []
     for t in range(n):
         frame = np.asarray(data.frames[t])

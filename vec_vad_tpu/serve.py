@@ -1119,9 +1119,10 @@ class FlowStreamingScorer(StreamingScorer):
         """Micro-batched live-flow: ONE device call advances k frames of
         the CURRENT video (no start_video between them), each scoring
         its predecessor with the usual one-push lag. Returns the scores
-        emitted by this call, in frame order (k-1 of them steady-state;
-        k at a video's first batch; fewer while pipeline_depth fills —
-        end_video() still flushes the final frame). Buffers k frame
+        emitted by this call, in frame order: k steady-state, k-1 at a
+        video's FIRST batch (frame 0 emits immediately, the batch's last
+        frame stays pending), fewer while pipeline_depth fills —
+        end_video() still flushes the final frame. Buffers k frame
         intervals; use push() for latency-critical streams."""
         if self._video_closed:
             raise ValueError("call start_video() first")
@@ -1256,6 +1257,10 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
     def push(self, *a, **kw):
         raise NotImplementedError("MultiCameraFlowScorer scores per tick; "
                                   "use push_tick")
+
+    # guard: the inherited single-camera push_many would run against the
+    # fleet's (C, ...) rings and per-tick state and fail confusingly
+    push_many = push
 
     def _norm_frames(self, frames) -> np.ndarray:
         frames = np.asarray(frames, np.uint8)

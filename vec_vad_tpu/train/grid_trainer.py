@@ -196,6 +196,20 @@ class GridTrainer:
             lambda v: jnp.broadcast_to(v[None], (g,) + v.shape), state
         )
 
+    @staticmethod
+    def _uniform_has_flow(block_data) -> bool:
+        """Whether the blocks carry a flow stream; a MIXED list would
+        either crash mid-fill (of_buf[bi] = None) or silently discard
+        later blocks' flow cubes — reject it (the pipeline always passes
+        a uniform stream)."""
+        flows_present = [of is not None for _, _, of in block_data]
+        if any(flows_present) and not all(flows_present):
+            raise ValueError(
+                "block_data mixes flow and flow-less blocks; pass a "
+                "uniform flow stream"
+            )
+        return flows_present[0]
+
     def fit_blocks(
         self,
         block_data: List[Tuple[BlockKey, np.ndarray, Optional[np.ndarray]]],
@@ -222,7 +236,7 @@ class GridTrainer:
         p = self.patch_size
         tc = self.net.tot_raw_num * self.net.raw_channels
         oc = self.net.tot_of_num * self.net.of_channels
-        has_flow = cfg.use_flow and block_data[0][2] is not None
+        has_flow = cfg.use_flow and self._uniform_has_flow(block_data)
 
         raw_buf = np.zeros((g, n_max, p, p, tc), np.uint8)
         of_buf = (
@@ -337,7 +351,7 @@ class GridTrainer:
         p = self.patch_size
         tc = self.net.tot_raw_num * self.net.raw_channels
         oc = self.net.tot_of_num * self.net.of_channels
-        has_flow = cfg.use_flow and block_data[0][2] is not None
+        has_flow = cfg.use_flow and self._uniform_has_flow(block_data)
 
         raw_buf = np.zeros((g, n_max, p, p, tc), np.uint8)
         of_buf = (
