@@ -413,3 +413,24 @@ def test_live_flow_push_many_matches_push():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), ref, rtol=1e-5, atol=1e-5
     )
+
+
+def test_live_flow_bf16_flow_compute():
+    """flow_compute_dtype=bfloat16 runs the FlowNet forward in bf16
+    (weights packed as one bf16 buffer) and stays close to the f32
+    scores — the quantization perturbs only the flow stream's inputs."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(43, 0)
+    n = int(ds.test_video_lengths[0])
+    kw = dict(flow_net=fnet, flow_variables=fvars, flow_model_hw=FLOW_HW)
+    a = _stream(
+        FlowStreamingScorer.from_model(model, **kw),
+        ds.test_frames[:n], ds.test_boxes[:n], [n],
+    )
+    sc16 = FlowStreamingScorer.from_model(
+        model, flow_compute_dtype=jnp.bfloat16, **kw
+    )
+    assert sc16._flow_arg.dtype == jnp.bfloat16
+    b = _stream(sc16, ds.test_frames[:n], ds.test_boxes[:n], [n])
+    assert np.isfinite(b).all()
+    # scores are z-normed (O(1) scale); bf16 flow perturbs them slightly
+    np.testing.assert_allclose(a, b, atol=0.15)

@@ -78,12 +78,13 @@ def _predict_window(pos: int, ctx: int) -> np.ndarray:
     return start + np.maximum(t - pad, 0)
 
 
-def _pack_f32(tree):
-    """Flatten a pytree into one f32 device buffer for single-handle
-    argument marshaling: (packed, shapes, treedef), packed/shapes None
-    when any leaf is not float32 (pass the pytree through instead)."""
+def _pack_f32(tree, dtype=jnp.float32):
+    """Flatten a pytree into one uniform-dtype device buffer for
+    single-handle argument marshaling: (packed, shapes, treedef);
+    packed/shapes None when any leaf differs from `dtype` (pass the
+    pytree through instead)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    if all(l.dtype == jnp.float32 for l in leaves):
+    if all(l.dtype == dtype for l in leaves):
         return (
             jnp.concatenate([jnp.ravel(l) for l in leaves]),
             [l.shape for l in leaves],
@@ -885,7 +886,15 @@ class FlowStreamingScorer(StreamingScorer):
     """
 
     def __init__(self, cfg, variables=None, stats=None, *, flow_net,
-                 flow_variables, flow_model_hw=(384, 512), **kw):
+                 flow_variables, flow_model_hw=(384, 512),
+                 flow_compute_dtype=jnp.float32, **kw):
+        """flow_compute_dtype: dtype of the FlowNet forward (weights cast
+        once at construction, activations per call; the resulting flow
+        map returns to float32 before the ring write and scoring). The
+        completion ensemble's tiny convs don't profit from bf16
+        (CLAUDE.md measurement) but FlowNet2's 384x512 convs are
+        MXU-sized — bf16 here targets the step's dominant compute.
+        Scores shift by the flow quantization; default stays float32."""
         if not cfg.model.use_flow:
             raise ValueError(
                 "FlowStreamingScorer serves two-stream models; "
@@ -894,7 +903,14 @@ class FlowStreamingScorer(StreamingScorer):
         super().__init__(cfg, variables, stats, **kw)
         self.flow_net = flow_net
         self._flow_hw = tuple(flow_model_hw)
-        packed, self._fshapes, self._ftree = _pack_f32(flow_variables)
+        self._flow_dtype = flow_compute_dtype
+        if flow_compute_dtype != jnp.float32:
+            flow_variables = jax.tree.map(
+                lambda l: jnp.asarray(l, flow_compute_dtype), flow_variables
+            )
+        packed, self._fshapes, self._ftree = _pack_f32(
+            flow_variables, dtype=flow_compute_dtype
+        )
         self._flow_arg = packed if packed is not None else flow_variables
         self._step_flow = self._build_flow_step()
         self._last = None  # (frame, boxes_pad, nb) of the newest push
@@ -918,6 +934,7 @@ class FlowStreamingScorer(StreamingScorer):
         score_from_rings = self._score_from_rings
         fnet = self.flow_net
         mh, mw = self._flow_hw
+        fdt = self._flow_dtype
 
         def one_flow(ring, flow_ring, frame, ctrl, boxes,
                      fvars, variables, stats):
@@ -937,8 +954,8 @@ class FlowStreamingScorer(StreamingScorer):
                 # the driver's protocol exactly (flow/driver.py
                 # run_chunk): cv2-parity resize to model_hw, forward,
                 # resize back WITHOUT magnitude rescaling
-                pr = resize_bilinear(pair, mh, mw)
-                flow = fnet.apply(fvars, pr[None])
+                pr = resize_bilinear(pair, mh, mw).astype(fdt)
+                flow = fnet.apply(fvars, pr[None]).astype(jnp.float32)
                 flow = resize_bilinear(flow, H, W)[0]  # (H, W, 2)
                 fr = jax.lax.dynamic_update_slice(
                     fr, flow[None], (of_slot, 0, 0, 0)
