@@ -216,11 +216,13 @@ class StreamingScorer:
 
         pack_weights: marshal the block weights + stats table into the
         jitted step as ONE flat f32 buffer instead of a ~100-leaf pytree
-        (the flagship grid is 93 leaves). The remote relay pays a per-
-        argument-handle marshaling cost on every call, so leaf count sits
-        directly on the per-frame dispatch floor; unpacking inside the jit
-        is static slicing XLA folds away. Scores are bit-identical either
-        way. Auto-disabled when any weight leaf is not float32.
+        (the flagship grid is 93 leaves). Per-call dispatch through the
+        remote relay involves per-argument marshaling, so fewer handles
+        should lower the per-frame floor (hardware A/B pending — an
+        outage blocked the measurement); unpacking inside the jit is
+        static slicing XLA folds away, and scores are bit-identical
+        either way, so the packed form is safe as the default. Auto-
+        disabled when any weight leaf is not float32.
         """
         mc = cfg.model
         if mc.border_mode != "predict":
