@@ -216,12 +216,14 @@ class StreamingScorer:
 
         pack_weights: marshal the block weights + stats table into the
         jitted step as ONE flat f32 buffer instead of a ~100-leaf pytree
-        (the flagship grid is 93 leaves). Per-call dispatch through the
-        remote relay involves per-argument marshaling, so fewer handles
-        should lower the per-frame floor (hardware A/B pending — an
-        outage blocked the measurement); unpacking inside the jit is
-        static slicing XLA folds away, and scores are bit-identical
-        either way, so the packed form is safe as the default. Auto-
+        (the flagship grid is 92 leaves). Hardware A/B (interleaved
+        pushes, drift-fair): latency-NEUTRAL — 31.3 ms median packed vs
+        31.9 unpacked; per-argument dispatch marshaling measured at
+        ~6 us/leaf (92 tiny args 1.18 ms/call vs one buffer 0.66), so
+        handle count is not the serving floor (link RTT + the 86 KB
+        frame upload is). The packed form stays the default for its
+        memory shape — ONE weight buffer resident in HBM instead of a
+        stacked pytree — and scores are bit-identical either way. Auto-
         disabled when any weight leaf is not float32.
         """
         mc = cfg.model
@@ -519,6 +521,7 @@ class StreamingScorer:
             *self._weight_args,
         )
         self._n_pushed += 1
+        self._enqueue_result(out)
         self._pending.append((out, boxes_pad, nb, self._scene, skip_mag))
         if len(self._pending) <= self.pipeline_depth:
             return None  # pipeline still filling
@@ -597,6 +600,20 @@ class StreamingScorer:
             self._flow_ring = jnp.zeros((self.R_of, h, w, 2), jnp.float32)
         else:
             self._flow_ring = jnp.zeros((1, 1, 1, 2), jnp.float32)
+
+    def _enqueue_result(self, out) -> None:
+        """Start the device->host copy of a pipelined step's score vector
+        NOW (fire-and-forget) instead of when `_finish` pops it. On the
+        remote-relay backend the download is a full link round trip;
+        requested at dispatch time it overlaps the next pushes' work, so
+        the later np.asarray finds the bytes already local. No-op in
+        synchronous mode (depth 0 materializes immediately anyway) or on
+        runtimes without the async-copy API."""
+        if self.pipeline_depth > 0:
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
 
     def drain(self) -> List[float]:
         """Materialize and return the scores still in flight (stream end)."""
@@ -809,6 +826,7 @@ class MultiCameraScorer(StreamingScorer):
             boxes_pad, *self._weight_args,
         )
         self._tick += 1
+        self._enqueue_result(outs)
         self._pending.append(
             (outs, boxes_pad, nbs, self._cam_scene.copy(), skip_mag)
         )
@@ -1093,6 +1111,7 @@ class FlowStreamingScorer(StreamingScorer):
         self._last = (frame, boxes_pad, nb)
         if pos == 1:
             return None  # nothing emitted: frame 1 waits for f_2
+        self._enqueue_result(out)
         self._pending.append((out, sb, snb, self._scene, False))
         if len(self._pending) <= self.pipeline_depth:
             return None
@@ -1129,6 +1148,7 @@ class FlowStreamingScorer(StreamingScorer):
             self._ring, self._flow_ring, frame, ctrl, boxes_pad,
             self._flow_arg, *self._weight_args,
         )
+        self._enqueue_result(out)
         self._pending.append((out, boxes_pad, nb, self._scene, False))
         if len(self._pending) <= self.pipeline_depth:
             return None
@@ -1319,6 +1339,7 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
         return np.tile(row, (self.C, 1))
 
     def _emit(self, outs, boxes_pad, nbs, scenes):
+        self._enqueue_result(outs)
         self._pending.append((outs, boxes_pad, nbs, scenes, False))
         if len(self._pending) <= self.pipeline_depth:
             return None
