@@ -121,6 +121,49 @@ def test_correlation_backward_variants(rng):
     np.testing.assert_allclose(np.asarray(gb), want_b, atol=1e-5)
 
 
+def test_correlation_bf16_dtype_preserving(rng):
+    """bf16 inputs (the FlowNet bf16 compute option) must work through
+    BOTH correlation formulations, fwd and bwd, returning bf16 with the
+    channel dot accumulated in f32. Regression: the Pallas kernel used
+    to declare an f32 out_ref and crash on the bf16 store ('Invalid
+    dtype for swap') the first time bf16 flow serving ran on hardware."""
+    from vec_vad_tpu.models.flownet.ops import correlation
+
+    a = rng.normal(size=(1, 8, 10, 4)).astype(np.float32)
+    b = rng.normal(size=(1, 8, 10, 4)).astype(np.float32)
+    md, st = 4, 2
+    n = 2 * md // st + 1
+    g = rng.normal(size=(1, 8, 10, n * n)).astype(np.float32)
+
+    want = np.asarray(correlation_ref(a, b, md, st))
+    _, vjp = jax.vjp(lambda x, y: correlation_ref(x, y, md, st), a, b)
+    want_ga, want_gb = (np.asarray(v) for v in vjp(jnp.asarray(g)))
+
+    for pallas in (False, True):
+        a16 = jnp.asarray(a, jnp.bfloat16)
+        b16 = jnp.asarray(b, jnp.bfloat16)
+        out = correlation(a16, b16, md, st, pallas, True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), want, atol=0.05
+        )
+
+        def loss(x, y):
+            return jnp.sum(
+                (correlation(x, y, md, st, pallas, True)
+                 * jnp.asarray(g, jnp.bfloat16)).astype(jnp.float32)
+            )
+
+        ga, gb = jax.grad(loss, argnums=(0, 1))(a16, b16)
+        assert ga.dtype == gb.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(ga, np.float32), want_ga, atol=0.15
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb, np.float32), want_gb, atol=0.15
+        )
+
+
 def test_warp_matches_cuda_semantics(rng):
     img = rng.normal(size=(1, 6, 7, 3)).astype(np.float32)
     flow = rng.normal(scale=2.5, size=(1, 6, 7, 2)).astype(np.float32)

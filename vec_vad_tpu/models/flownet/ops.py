@@ -51,18 +51,23 @@ def correlation_ref(
     and channel (dy_i * 21 + dx_i) ordered dy-major, matching the CUDA
     kernel's top_channel layout (correlation_cuda_kernel.cu:34-106).
     Normalization is 1/C (kernel_size=1, corr_multiply=1).
+
+    Dtype-preserving (bf16 in -> bf16 out, for bf16 FlowNet compute) with
+    the channel dot accumulated in f32 — the reference kernel is f32-only.
     """
     B, H, W, C = a.shape
+    dt = a.dtype
     p = max_disp
-    bp = jnp.pad(b, ((0, 0), (p, p), (p, p), (0, 0)))
+    a32 = a.astype(jnp.float32)
+    bp = jnp.pad(b, ((0, 0), (p, p), (p, p), (0, 0))).astype(jnp.float32)
     outs = []
     for dy in range(-max_disp, max_disp + 1, stride):
         for dx in range(-max_disp, max_disp + 1, stride):
             shifted = jax.lax.dynamic_slice(
                 bp, (0, p + dy, p + dx, 0), (B, H, W, C)
             )
-            outs.append(jnp.sum(a * shifted, axis=-1))
-    return jnp.stack(outs, axis=-1) / C
+            outs.append(jnp.sum(a32 * shifted, axis=-1))
+    return (jnp.stack(outs, axis=-1) / C).astype(dt)
 
 
 def _corr_kernel(a_ref, b_ref, out_ref, *, max_disp, stride, tile_h):
@@ -76,7 +81,9 @@ def _corr_kernel(a_ref, b_ref, out_ref, *, max_disp, stride, tile_h):
 
     th = tile_h
     _, H, W, C = b_ref.shape
-    a = a_ref[0]  # (TH, W, C)
+    # blocks stay in the input dtype in VMEM (halves footprint for bf16);
+    # the channel dot accumulates in f32, result casts to the output dtype
+    a = a_ref[0].astype(jnp.float32)  # (TH, W, C)
     n_disp = 2 * max_disp // stride + 1
     ty = pl.program_id(1)
 
@@ -91,13 +98,15 @@ def _corr_kernel(a_ref, b_ref, out_ref, *, max_disp, stride, tile_h):
             row = b_ref[0, safe]  # (W, C)
             rows.append(jnp.where(inb, row, 0.0))
         brows = jnp.stack(rows, axis=0)  # (TH, W, C)
-        bp = jnp.pad(brows, ((0, 0), (max_disp, max_disp), (0, 0)))
+        bp = jnp.pad(
+            brows, ((0, 0), (max_disp, max_disp), (0, 0))
+        ).astype(jnp.float32)
         for dxi in range(n_disp):
             dx = -max_disp + dxi * stride
             shifted = bp[:, max_disp + dx : max_disp + dx + W, :]
             out_ref[0, :, :, dyi * n_disp + dxi] = (
                 jnp.sum(a * shifted, axis=-1) / C
-            )
+            ).astype(out_ref.dtype)
 
 
 def correlation_pallas(
@@ -141,7 +150,7 @@ def correlation_pallas(
             lambda bi, ti: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, D), a.dtype),
         interpret=interpret,
     )(a, b)
 
@@ -154,8 +163,14 @@ def correlation_bwd_ref(a, b, g, max_disp: int = 20, stride: int = 2):
       grad_b[y,x,c] = 1/C sum_d g[y-dy,x-dx,d] * a[y-dy, x-dx, c]
 
     One displacement sweep each — no forward recompute (jax.vjp of the
-    forward would redo all 441 products just to discard the primal)."""
+    forward would redo all 441 products just to discard the primal).
+    Dtype-preserving: bf16 inputs accumulate their 441-term sums in f32
+    and the grads cast back to the input dtype."""
     B, H, W, C = a.shape
+    dt_a, dt_b = a.dtype, b.dtype
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    g = g.astype(jnp.float32)
     p = max_disp
     bp = jnp.pad(b, ((0, 0), (p, p), (p, p), (0, 0)))
     grad_a = jnp.zeros_like(a)
@@ -176,7 +191,7 @@ def correlation_bwd_ref(a, b, g, max_disp: int = 20, stride: int = 2):
             grad_b = grad_b + jax.lax.dynamic_slice(
                 h, (0, p - dy, p - dx, 0), (B, H, W, C)
             )
-    return grad_a / C, grad_b / C
+    return (grad_a / C).astype(dt_a), (grad_b / C).astype(dt_b)
 
 
 def _corr_bwd_kernel(g_ref, oth_ref, out_ref, *, max_disp, stride, tile_h,
@@ -291,8 +306,11 @@ def correlation_bwd_pallas(
         _corr_bwd_kernel, max_disp=max_disp, stride=stride, tile_h=tile_h,
         wrt_b=True,
     )
-    grad_a = call(k_a, g_tile)(g_t, b)
-    grad_b = call(k_b, g_full)(g_t, a)
+    # the kernels accumulate across the sequential dy grid axis into an
+    # f32 output (out_shape above); cast back to the input dtypes so the
+    # VJP is dtype-preserving under bf16 compute
+    grad_a = call(k_a, g_tile)(g_t, b).astype(a.dtype)
+    grad_b = call(k_b, g_full)(g_t, a).astype(b.dtype)
     return grad_a, grad_b
 
 
