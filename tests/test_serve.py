@@ -453,3 +453,155 @@ def test_multicamera_mesh_matches_single_device():
     # camera count must divide the mesh
     with pytest.raises(ValueError):
         MultiCameraScorer.from_model(model, n_cameras=3, mesh=get_mesh())
+
+
+def _motion_frames(lengths, h=48, w=64, seed=0):
+    """Smooth frames with one moving block per video — real motion
+    structure so the reference's motion detector finds clean contours
+    (pure noise would light the whole map)."""
+    r = np.random.default_rng(seed)
+    vids = []
+    for vi, n in enumerate(lengths):
+        base = (
+            100
+            + 40 * np.sin(np.arange(w, dtype=np.float32) / 11.0 + vi)[None, :]
+            + 20 * np.cos(np.arange(h, dtype=np.float32) / 7.0)[:, None]
+        )
+        frames = np.repeat(base[None, ..., None], n, axis=0)
+        frames = np.repeat(frames, 3, axis=-1)
+        y0 = int(r.integers(4, h - 16))
+        for t in range(n):
+            x0 = (3 + 3 * t) % (w - 14)
+            frames[t, y0 : y0 + 12, x0 : x0 + 10] += 90.0
+        vids.append(np.clip(frames, 0, 255).astype(np.uint8))
+    return np.concatenate(vids, axis=0)
+
+
+def _offline_scores_with_boxes(cfg, model, frames, boxes, te_idx):
+    from vec_vad_tpu.serve import StreamingScorer  # noqa: F401 (clarity)
+
+    blk = model.blocks[(0, 0, 0)]
+    boxes_pad, valid = pad_boxes(boxes, cfg.fore.max_boxes_per_frame)
+    windows = te_idx.context_indices(
+        cfg.model.context_frame_num, cfg.model.border_mode
+    )
+    mu_r, sd_r = blk.raw_stats
+    return infer_frame_scores_resident(
+        cfg,
+        {"params": blk.params, "batch_stats": blk.batch_stats},
+        (mu_r, sd_r, 0.0, 1.0),
+        frames,
+        windows,
+        boxes_pad,
+        valid,
+        chunk=8,
+        cube_batch=16,
+    )
+
+
+def test_motion_streaming_matches_offline():
+    """MotionStreamingScorer (boxes computed IN the loop from the frame
+    stream) reproduces the offline pipeline run with motion-mode
+    foreground boxes (fore.detector.compute_foreground_bboxes) exactly —
+    same maps, same contours, same scores. Includes 2-frame and 1-frame
+    videos to pin the head/tail window clamps."""
+    from dataclasses import replace
+
+    from vec_vad_tpu.fore.detector import compute_foreground_bboxes
+    from vec_vad_tpu.serve import MotionStreamingScorer
+
+    ds, cfg, model = _train_tiny(use_flow=False, seed=21)
+    # no 1-frame video: the offline hard-border stage rejects those
+    # (reference-exact VideoTooShortError) — streaming handles them
+    # gracefully instead (separate test below)
+    lengths = [12, 9, 2]
+    frames = _motion_frames(lengths, seed=3)
+    te_idx = VideoIndex(
+        [f"v{i}" for i in range(len(lengths))], np.asarray(lengths)
+    )
+
+    cfg_m = replace(
+        cfg, fore=replace(cfg.fore, extraction_mode="obj_det_with_motion")
+    )
+    empty_det = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
+    offline_boxes = compute_foreground_bboxes(
+        cfg_m, SPEC, te_idx, frames=frames, detector=empty_det, chunk=5
+    )
+    assert sum(b.shape[0] for b in offline_boxes) > 0, "no motion found"
+    offline = _offline_scores_with_boxes(
+        cfg_m, model, frames, offline_boxes, te_idx
+    )
+
+    scorer = MotionStreamingScorer.from_model(model, spec=SPEC)
+    streamed = []
+    i = 0
+    for ln in lengths:
+        scorer.start_video()
+        vid = []
+        for _ in range(ln):
+            s = scorer.push(frames[i])
+            if s is not None:
+                vid.append(s)
+            i += 1
+        vid += scorer.end_video()
+        assert len(vid) == ln
+        streamed += vid
+    np.testing.assert_allclose(
+        np.asarray(streamed, np.float32), offline, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_motion_streaming_one_frame_video():
+    """A 1-frame video (the offline hard-border stage errors on these)
+    degrades gracefully online: its motion window is [0, 0, 0], the map
+    is empty, no boxes -> the frame scores -big_number."""
+    from vec_vad_tpu.serve import MotionStreamingScorer
+
+    ds, cfg, model = _train_tiny(use_flow=False, seed=23)
+    frames = _motion_frames([1], seed=7)
+    scorer = MotionStreamingScorer.from_model(model, spec=SPEC)
+    scorer.start_video()
+    assert scorer.push(frames[0]) is None
+    out = scorer.end_video()
+    assert out == [-scorer.big_number]
+
+
+def test_motion_streaming_ap_merge():
+    """Caller-supplied appearance boxes merge exactly like the offline
+    obj_det_with_motion stage: they mask the motion map and concatenate
+    ahead of the motion boxes."""
+    from dataclasses import replace
+
+    from vec_vad_tpu.fore.detector import compute_foreground_bboxes
+    from vec_vad_tpu.serve import MotionStreamingScorer
+
+    ds, cfg, model = _train_tiny(use_flow=False, seed=22)
+    lengths = [10]
+    frames = _motion_frames(lengths, seed=5)
+    te_idx = VideoIndex(["v"], np.asarray(lengths))
+    ap = np.array([[8.0, 8.0, 24.0, 24.0]], np.float32)
+
+    cfg_m = replace(
+        cfg, fore=replace(cfg.fore, extraction_mode="obj_det_with_motion")
+    )
+    fixed_det = lambda img: (ap.copy(), np.ones(1))  # noqa: E731
+    offline_boxes = compute_foreground_bboxes(
+        cfg_m, SPEC, te_idx, frames=frames, detector=fixed_det, chunk=4
+    )
+    offline = _offline_scores_with_boxes(
+        cfg_m, model, frames, offline_boxes, te_idx
+    )
+
+    # the offline appearance stage filters + suppresses before the merge;
+    # with one box those are identity, so pushing `ap` directly matches
+    scorer = MotionStreamingScorer.from_model(model, spec=SPEC)
+    scorer.start_video()
+    streamed = []
+    for i in range(lengths[0]):
+        s = scorer.push(frames[i], ap_boxes=ap)
+        if s is not None:
+            streamed.append(s)
+    streamed += scorer.end_video()
+    np.testing.assert_allclose(
+        np.asarray(streamed, np.float32), offline, rtol=2e-4, atol=2e-4
+    )

@@ -190,11 +190,17 @@ def cmd_serve(args) -> int:
     model = load_vad_model(model_path)
     data = load_split(cfg, args.base, "test")
     live = bool(getattr(args, "live_flow", False))
+    motion = bool(getattr(args, "motion", False))
     if live and not cfg.model.use_flow:
         # fail BEFORE the expensive FlowNet2 build/checkpoint load
         raise SystemExit(
             "--live-flow needs a two-stream model (useFlow=True); "
             "this config is raw-only"
+        )
+    if motion and (live or int(getattr(args, "cameras", 1)) > 1):
+        raise SystemExit(
+            "--motion composes with the single-camera precomputed-flow "
+            "scorer only (not --live-flow / --cameras)"
         )
     if int(getattr(args, "cameras", 1)) > 1:
         return _serve_fleet(cfg, model, data, args, live)
@@ -205,6 +211,10 @@ def cmd_serve(args) -> int:
         scorer = FlowStreamingScorer.from_model(
             model, flow_net=fnet, flow_variables=fvars
         )
+    elif motion:
+        from vec_vad_tpu.serve import MotionStreamingScorer
+
+        scorer = MotionStreamingScorer.from_model(model, spec=cfg.dataset)
     else:
         scorer = StreamingScorer.from_model(model)
 
@@ -236,7 +246,10 @@ def cmd_serve(args) -> int:
                     if scorer.use_flow and data.flow is not None
                     else None
                 )
-                s = scorer.push(frame, data.boxes[i], flow=flow)
+                if motion:
+                    s = scorer.push(frame, flow=flow)
+                else:
+                    s = scorer.push(frame, data.boxes[i], flow=flow)
             lat.append(time.perf_counter() - t0)
             if s is not None:
                 scores.append(s)
@@ -245,6 +258,8 @@ def cmd_serve(args) -> int:
             s = scorer.end_video()
             if s is not None:
                 scores.append(s)
+        elif motion:
+            scores.extend(scorer.end_video())
     scores.extend(scorer.drain())
     lat = np.array(lat[2:]) if len(lat) > 2 else np.array(lat)  # drop compiles
     print(
@@ -498,6 +513,12 @@ def main(argv=None) -> int:
         "--flow-checkpoint", default=None,
         help="FlowNet2 torch checkpoint for --live-flow "
         "(random-init with a warning when absent)",
+    )
+    p.add_argument(
+        "--motion", action="store_true",
+        help="compute foreground boxes IN the serving loop from the "
+        "frame stream (the reference's motion-detector recipe) instead "
+        "of using the workspace's bbox source (MotionStreamingScorer)",
     )
     p.set_defaults(fn=cmd_serve)
 

@@ -349,6 +349,7 @@ def run_calc_flow(
     resident: bool = False,
     segment_frames: Optional[int] = None,
     memory_budget_bytes: float = 4e9,
+    max_whole_split_frames: int = 512,
 ) -> None:
     """Precompute the optical-flow tree with FlowNet2
     (calc_optical_flow.py equivalent). resident=True computes each
@@ -359,7 +360,13 @@ def run_calc_flow(
     lazy per-segment decode, one device call per segment, each frame's
     .npy written immediately — bounded RSS and HBM at any scale, like the
     reference's one-frame-at-a-time loop (calc_optical_flow.py:25-85).
-    `segment_frames` forces the segmented path with that segment size."""
+    `segment_frames` forces the segmented path with that segment size.
+
+    Splits longer than `max_whole_split_frames` also take the segmented
+    path even when they fit the memory budget: the whole-split program is
+    ONE device execution of n/chunk FlowNet2 iterations, and a 2550-frame
+    UCSDped2 split (an ~80 s single execution) crashed the remote TPU
+    worker mid-run — per-segment calls keep every execution bounded."""
     import jax
     import jax.numpy as jnp
 
@@ -390,9 +397,11 @@ def run_calc_flow(
         n = index.total_frames
         # frames (uint8) + flow (2 x f32) for the whole split
         footprint = float(np.prod(lazy.shape)) * (1.0 + 8.0 / lazy.shape[-1])
-        if segment_frames or footprint > memory_budget_bytes:
-            seg = segment_frames or max(
-                chunk, int(memory_budget_bytes // (footprint / n)) // 2
+        if (segment_frames or footprint > memory_budget_bytes
+                or n > max_whole_split_frames):
+            seg = segment_frames or min(
+                max_whole_split_frames,
+                max(chunk, int(memory_budget_bytes // (footprint / n)) // 2),
             )
             write = flow_tree_writer(index, of_root, root)
             compute_optical_flow_segmented(
