@@ -550,6 +550,26 @@ def test_motion_streaming_matches_offline():
         np.asarray(streamed, np.float32), offline, rtol=2e-4, atol=2e-4
     )
 
+    # gray_stream composes: these frames are channel-replicated, so the
+    # 1-channel upload must reproduce the same maps, boxes, and scores
+    scorer = MotionStreamingScorer.from_model(model, spec=SPEC,
+                                              gray_stream=True)
+    streamed_g = []
+    i = 0
+    for ln in lengths:
+        scorer.start_video()
+        vid = []
+        for _ in range(ln):
+            s = scorer.push(frames[i, ..., 0])
+            if s is not None:
+                vid.append(s)
+            i += 1
+        streamed_g += vid + scorer.end_video()
+    np.testing.assert_allclose(
+        np.asarray(streamed_g, np.float32),
+        np.asarray(streamed, np.float32), rtol=1e-6, atol=1e-6,
+    )
+
 
 def test_motion_streaming_one_frame_video():
     """A 1-frame video (the offline hard-border stage errors on these)
