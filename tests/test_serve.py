@@ -477,25 +477,34 @@ def _motion_frames(lengths, h=48, w=64, seed=0):
     return np.concatenate(vids, axis=0)
 
 
-def _offline_scores_with_boxes(cfg, model, frames, boxes, te_idx):
-    from vec_vad_tpu.serve import StreamingScorer  # noqa: F401 (clarity)
-
+def _offline_scores_with_boxes(cfg, model, frames, boxes, te_idx,
+                               te_flow=None):
     blk = model.blocks[(0, 0, 0)]
     boxes_pad, valid = pad_boxes(boxes, cfg.fore.max_boxes_per_frame)
     windows = te_idx.context_indices(
         cfg.model.context_frame_num, cfg.model.border_mode
     )
     mu_r, sd_r = blk.raw_stats
+    mu_o, sd_o = blk.of_stats if blk.of_stats is not None else (0.0, 1.0)
+    kwargs = {}
+    if te_flow is not None:
+        ow = te_idx.context_indices(
+            cfg.model.context_of_num, cfg.model.border_mode
+        )
+        kwargs = dict(
+            flow=te_flow, of_windows=ow if ow.ndim > 1 else ow[:, None]
+        )
     return infer_frame_scores_resident(
         cfg,
         {"params": blk.params, "batch_stats": blk.batch_stats},
-        (mu_r, sd_r, 0.0, 1.0),
+        (mu_r, sd_r, mu_o, sd_o),
         frames,
         windows,
         boxes_pad,
         valid,
         chunk=8,
         cube_batch=16,
+        **kwargs,
     )
 
 
@@ -568,6 +577,57 @@ def test_motion_streaming_matches_offline():
     np.testing.assert_allclose(
         np.asarray(streamed_g, np.float32),
         np.asarray(streamed, np.float32), rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_motion_streaming_two_stream_flow():
+    """Motion-in-the-loop composes with the two-stream model + streamed
+    flow maps (the hardware CLI config: serve --motion on a useFlow
+    workspace): scores match the offline motion-mode two-stream path,
+    including the motion-magnitude cube filter."""
+    from dataclasses import replace
+
+    from vec_vad_tpu.fore.detector import compute_foreground_bboxes
+    from vec_vad_tpu.serve import MotionStreamingScorer
+
+    ds, cfg, model = _train_tiny(use_flow=True, seed=24)
+    lengths = [12, 8]
+    frames = _motion_frames(lengths, seed=9)
+    te_flow = _pseudo_flow(frames)
+    te_idx = VideoIndex(["a", "b"], np.asarray(lengths))
+
+    cfg_m = replace(
+        cfg,
+        fore=replace(
+            cfg.fore, extraction_mode="obj_det_with_motion", motion_thr=0.1
+        ),
+    )
+    empty_det = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
+    offline_boxes = compute_foreground_bboxes(
+        cfg_m, SPEC, te_idx, frames=frames, detector=empty_det, chunk=5
+    )
+    assert sum(b.shape[0] for b in offline_boxes) > 0
+    offline = _offline_scores_with_boxes(
+        cfg_m, model, frames, offline_boxes, te_idx, te_flow
+    )
+
+    scorer = MotionStreamingScorer.from_model(model, spec=SPEC)
+    scorer.cfg = cfg_m  # motion_thr for the mag filter, as the CLI loads
+    streamed = []
+    i = 0
+    for ln in lengths:
+        scorer.start_video()
+        vid = []
+        for _ in range(ln):
+            s = scorer.push(frames[i], flow=te_flow[i])
+            if s is not None:
+                vid.append(s)
+            i += 1
+        vid += scorer.end_video()
+        assert len(vid) == ln
+        streamed += vid
+    np.testing.assert_allclose(
+        np.asarray(streamed, np.float32), offline, rtol=2e-4, atol=2e-4
     )
 
 
