@@ -327,9 +327,14 @@ def main() -> None:
     from vec_vad_tpu.train.trainer import BlockTrainer
 
     n_cubes = 2048
-    raw = rng.integers(
+    # HBM-resident cubes, like the real pipeline (extract_cube_set_resident
+    # feeds the trainer without cubes ever leaving the device) — timing the
+    # 25 MB upload instead would measure tunnel mood (5-40 MB/s swings),
+    # not training
+    raw = jax.device_put(rng.integers(
         0, 256, (n_cubes, P, P, cfg.model.tot_raw_num * 3), dtype=np.uint8
-    )
+    ))
+    np.asarray(raw[0, 0, 0, 0])  # force the upload out of the timed region
     trainer = BlockTrainer(net, cfg.model, get_mesh(), patch_size=P)
     steps = cfg.model.epochs * (-(-n_cubes // cfg.model.batch_size))
     trainer.fit_block(raw, None)  # compile + warm
