@@ -13,6 +13,8 @@ from typing import Optional
 import numpy as np
 
 UNKNOWN_FLOW_THRESH = 1e7
+SMALL_FLOW = 0.0
+LARGE_FLOW = 1e8
 TAG_FLOAT = 202021.25
 
 
@@ -139,6 +141,142 @@ def write_kitti_png(path: str, flow: np.ndarray) -> None:
     out[:, :, 1] = np.clip(flow[:, :, 1] * 64.0 + 2 ** 15, 0, 65535).astype(np.uint16)
     out[:, :, 2] = 1
     cv2.imwrite(path, out[:, :, ::-1])
+
+
+def read_disp_png(path: str) -> np.ndarray:
+    """KITTI 16-bit disparity png -> (H, W) float disparity in pixels
+    (flowlib.py:316-331: first png channel / 256)."""
+    import cv2
+
+    raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if raw.ndim == 3:
+        # cv2 loads color pngs BGR; the png-library reference reads channel 0
+        # in file (RGB) order, i.e. cv2's last channel.
+        raw = raw[:, :, ::-1][:, :, 0]
+    return raw.astype(np.float64) / 256.0
+
+
+def disp_to_flowfile(disp: np.ndarray, path: str) -> None:
+    """Pack a (H, W) disparity map as a .flo whose v-channel is zero
+    (flowlib.py:334-352)."""
+    flow = np.dstack([disp.astype(np.float32), np.zeros_like(disp, np.float32)])
+    write_flo(path, flow)
+
+
+# ---------------------------------------------------------------------------
+# Segmentation / display helpers
+# ---------------------------------------------------------------------------
+
+
+def segment_flow(flow: np.ndarray) -> np.ndarray:
+    """Quantize flow directions into 8 octant classes (flowlib.py:150-184).
+
+    Class 0 = zero flow or invalid (|component| > LARGE_FLOW); classes 1-8
+    walk the octants counter-clockwise from the +u half of the first
+    quadrant. Matches the reference's predicate set exactly, including the
+    u==0 -> 1e-5 substitution before the tangent.
+    """
+    u = flow[:, :, 0].astype(np.float64).copy()
+    v = flow[:, :, 1].astype(np.float64).copy()
+    invalid = (np.abs(u) > LARGE_FLOW) | (np.abs(v) > LARGE_FLOW)
+    zero = (u == 0) & (v == 0)
+    u = np.where(np.abs(u) == SMALL_FLOW, 1e-5, u)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = v / u
+
+    seg = np.zeros(u.shape, dtype=np.float64)
+    octants = [
+        (1, (t < 1) & (t >= 0) & (u > 0) & (v >= 0)),
+        (2, (t >= 1) & (u >= 0) & (v >= 0)),
+        (3, (t < -1) & (u <= 0) & (v >= 0)),
+        (4, (t < 0) & (t >= -1) & (u < 0) & (v >= 0)),
+        (5, (t >= 0) & (t < 1) & (u < 0) & (v <= 0)),
+        (6, (t >= 1) & (u <= 0) & (v <= 0)),
+        (7, (t < -1) & (u >= 0) & (v <= 0)),
+        (8, (t >= -1) & (t < 0) & (u > 0) & (v <= 0)),
+    ]
+    # The reference assigns class1..class8 sequentially, so later classes win
+    # where predicates overlap at octant boundaries — preserve that order.
+    for label, mask in octants:
+        seg[mask] = label
+    seg[zero] = 0
+    seg[invalid] = 0
+    return seg
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    """Vectorized HSV->RGB on float arrays in [0, 1] (no matplotlib needed)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(int) % 6
+    choices = [
+        (v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q),
+    ]
+    out = np.zeros(hsv.shape, dtype=np.float64)
+    for k, (r, g, b) in enumerate(choices):
+        m = i == k
+        out[..., 0] = np.where(m, r, out[..., 0])
+        out[..., 1] = np.where(m, g, out[..., 1])
+        out[..., 2] = np.where(m, b, out[..., 2])
+    return out
+
+
+def render_flow(flow: np.ndarray, mode: str = "Y") -> np.ndarray:
+    """Render a flow map to a display image (flowlib.py:40-82 semantics).
+
+    mode 'Y': Middlebury color wheel (uint8 RGB). mode 'RGB': HSV
+    angle/magnitude encoding of a 3-channel (u, v, valid) flow (float RGB
+    in [0, 1], invalid pixels zeroed) — the reference's visualize_flow
+    'RGB' branch.
+    """
+    if mode == "Y":
+        return flow_to_image(flow)
+    if mode != "RGB":
+        raise ValueError(f"unknown flow render mode {mode!r}")
+    du = flow[:, :, 0].astype(np.float64)
+    dv = flow[:, :, 1].astype(np.float64)
+    valid = (
+        flow[:, :, 2].astype(np.float64)
+        if flow.shape[2] > 2
+        else np.ones_like(du)
+    )
+    max_flow = max(float(np.max(du)), float(np.max(dv)))
+    img = np.zeros(du.shape + (3,), dtype=np.float64)
+    img[:, :, 0] = np.arctan2(dv, du) / (2 * np.pi)
+    img[:, :, 1] = np.sqrt(du * du + dv * dv) * 8 / max_flow
+    img[:, :, 2] = 8 - img[:, :, 1]
+    img = np.clip(img, 0.0, 1.0)
+    img = _hsv_to_rgb(img)
+    return img * valid[:, :, None]
+
+
+def visualize_flow(flow: np.ndarray, mode: str = "Y", show: bool = True):
+    """Render (and optionally plt.show) a flow map (flowlib.py:40-82)."""
+    img = render_flow(flow, mode=mode)
+    if show:  # pragma: no cover - needs a display
+        import matplotlib.pyplot as plt
+
+        plt.imshow(img)
+        plt.show()
+    return img
+
+
+def show_flow(path: str, show: bool = True):
+    """Read a .flo file and display it (flowlib.py:29-37)."""
+    return visualize_flow(read_flo(path), mode="Y", show=show)
+
+
+def scale_image(image: np.ndarray, new_range) -> np.ndarray:
+    """Linearly rescale an image into new_range as uint8
+    (flowlib.py:416-428)."""
+    lo, hi = float(np.min(image)), float(np.max(image))
+    new_lo, new_hi = float(min(new_range)), float(max(new_range))
+    scaled = (image - lo) / (hi - lo) * (new_hi - new_lo) + new_lo
+    return scaled.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
