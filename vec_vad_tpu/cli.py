@@ -302,6 +302,26 @@ def cmd_export_torch(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    """Import a released reference checkpoint set (model_set +
+    raw/of training-score grids, README.md:63 e.g.
+    avenue_model_5raw1of_auc0.902) into the .npz VadModel the `test`
+    subcommand loads — the inverse of `export-torch`."""
+    from vec_vad_tpu.models.completion_convert import import_model_grid
+    from vec_vad_tpu.runtime.artifacts import save_vad_model
+
+    cfg = _load_cfg(args)
+    model = import_model_grid(cfg, args.model_dir)
+    out = args.out or os.path.join(
+        args.base, cfg.data_root_dir, cfg.modality,
+        f"{cfg.dataset_name}_model_{cfg.fore.extraction_mode}_{cfg.method}.npz",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_vad_model(out, model)
+    print(f"imported {len(model.blocks)} block(s) -> {out}")
+    return 0
+
+
 def cmd_demo(args) -> int:
     import importlib.util
 
@@ -343,19 +363,29 @@ def cmd_flow_train(args) -> int:
     from vec_vad_tpu.flow.trainer import FlowTrainer
     from vec_vad_tpu.models import flownet
 
-    # the multiscale harness trains the pyramid-returning component nets
-    # (what FlowNet2 fine-tuning actually retrains); the FlowNet2*
-    # composites take pair-major input and return one fused flow, which
-    # this loss cannot supervise — reject them with a pointer instead of
-    # crashing at trace time
-    trainable = {"FlowNetC", "FlowNetS", "FlowNetSD"}
-    if args.net not in trainable:
-        raise SystemExit(
-            f"--net {args.net!r} is not trainable here: flow-train "
-            "supervises the multi-scale pyramid of the component nets "
-            f"({', '.join(sorted(trainable))}). Fine-tune a component "
-            "and rebuild the composite from it."
-        )
+    # component nets (FlowNetC/S/SD) return a multi-scale pyramid in train
+    # mode and pair with the MultiScale loss; the FlowNet2/CS/CSS
+    # composites return ONE fused flow and the reference trains them with
+    # single-scale L1Loss/L2Loss on it (main.py:194-197, losses.py:22-45)
+    components = {"FlowNetC", "FlowNetS", "FlowNetSD"}
+    composites = {"FlowNet2", "FlowNet2CS", "FlowNet2CSS"}
+    if args.net in components:
+        if args.loss != "multiscale":
+            raise SystemExit(
+                f"--net {args.net} returns a flow pyramid in train mode; "
+                "train it with --loss multiscale (--norm picks L1/L2)."
+            )
+        loss_mode, norm = "multiscale", args.norm
+    elif args.net in composites:
+        if args.loss == "multiscale":
+            raise SystemExit(
+                f"--net {args.net} returns one fused flow — the pyramid "
+                "loss cannot supervise it. Pass --loss L1 or --loss L2 "
+                "(the reference's composite recipe, main.py:194-197)."
+            )
+        loss_mode, norm = "single", args.loss
+    else:
+        raise SystemExit(f"unknown --net {args.net!r}")
     net = getattr(flownet, args.net)()
 
     crop = (
@@ -379,7 +409,8 @@ def cmd_flow_train(args) -> int:
     trainer = FlowTrainer(
         net,
         learning_rate=args.lr,
-        norm=args.norm,
+        norm=norm,
+        loss=loss_mode,
         schedule_lr_frequency=args.schedule_lr_frequency,
         schedule_lr_fraction=args.schedule_lr_fraction,
     )
@@ -396,7 +427,7 @@ def cmd_flow_train(args) -> int:
         print(f"loaded checkpoint: {len(report['matched'])} tensors")
         init_params = variables["params"]
 
-    harness = FlowHarness(trainer, args.workdir, norm=args.norm)
+    harness = FlowHarness(trainer, args.workdir, norm=norm)
     result = harness.fit(
         train_ds,
         val_ds,
@@ -409,6 +440,78 @@ def cmd_flow_train(args) -> int:
     )
     print(f"best validation EPE: {result.best_epe:.4f}")
     print(f"checkpoints in {args.workdir}")
+    return 0
+
+
+def cmd_flow_infer(args) -> int:
+    """The reference harness's --inference mode (main.py:87-100,344-352,
+    524-589): run a trained/converted flow net over a flow-dataset tree,
+    optionally write each prediction as %06d.flo, and report mean EPE.
+    Weights come from --checkpoint (torch .pth) or from --workdir
+    (a flow-train run's model_best/checkpoint msgpack); like the
+    reference, inference without weights refuses to run."""
+    import numpy as np
+
+    from vec_vad_tpu.flow.datasets import (
+        ChairsSDHom,
+        FlyingChairs,
+        MpiSintel,
+    )
+    from vec_vad_tpu.flow.harness import FlowHarness
+    from vec_vad_tpu.flow.trainer import FlowTrainer
+    from vec_vad_tpu.models import flownet
+
+    net = getattr(flownet, args.net)()
+    makers = {
+        "MpiSintel": lambda root, **kw: MpiSintel(
+            root, dstype=args.dstype, **kw
+        ),
+        "FlyingChairs": FlyingChairs,
+        "ChairsSDHom": ChairsSDHom,
+    }
+    ds = makers[args.dataset](args.data_root)
+
+    trainer = FlowTrainer(net)
+    workdir = args.workdir or os.path.join(args.out or ".", "_flow_infer")
+    harness = FlowHarness(trainer, workdir)
+    pairs0, _ = next(ds.batches(args.batch_size, shuffle=False))
+
+    params = None
+    if args.checkpoint:
+        import jax.numpy as jnp
+
+        from vec_vad_tpu.models.flownet import load_flownet2_checkpoint
+
+        variables, report = load_flownet2_checkpoint(
+            net, jnp.asarray(pairs0[:1]), args.checkpoint
+        )
+        print(f"loaded torch checkpoint: {len(report['matched'])} tensors")
+        params = variables["params"]
+    elif args.workdir:
+        template = trainer.init_state(pairs0[:1], seed=0)
+        loaded = harness.load_checkpoint(template, best=True)
+        if loaded is None:
+            loaded = harness.load_checkpoint(template)
+        if loaded is not None:
+            params = loaded[0].params
+            print(f"loaded {args.workdir} checkpoint (epoch {loaded[1]})")
+    if params is None:
+        # main.py:352-354 quits on inference without a resumable checkpoint
+        raise SystemExit(
+            "flow-infer needs weights: pass --checkpoint (torch) or "
+            "--workdir holding a flow-train checkpoint"
+        )
+
+    save_dir = None
+    if args.save_flow:
+        save_dir = args.out or os.path.join(workdir, "inference")
+    res = harness.infer(
+        params, ds, args.batch_size, save_dir=save_dir,
+        n_batches=args.n_batches,
+    )
+    print(f"inference EPE over {res['n']} samples: {res['epe']:.4f}")
+    if save_dir:
+        print(f"flows written to {save_dir}")
     return 0
 
 
@@ -564,14 +667,24 @@ def main(argv=None) -> int:
     )
     p.add_argument("--dstype", default="clean",
                    help="MpiSintel pass: clean | final")
-    p.add_argument("--net", default="FlowNetS",
-                   choices=["FlowNetC", "FlowNetS", "FlowNetSD"])
+    p.add_argument(
+        "--net", default="FlowNetS",
+        choices=["FlowNetC", "FlowNetS", "FlowNetSD",
+                 "FlowNet2", "FlowNet2CS", "FlowNet2CSS"],
+    )
     p.add_argument("--workdir", required=True,
                    help="checkpoint/model_best directory")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--norm", default="L1", choices=["L1", "L2"])
+    p.add_argument("--norm", default="L1", choices=["L1", "L2"],
+                   help="norm inside the multiscale loss")
+    p.add_argument(
+        "--loss", default="multiscale", choices=["multiscale", "L1", "L2"],
+        help="multiscale for component nets; L1/L2 single-scale on the "
+        "fused output for the FlowNet2/CS/CSS composites "
+        "(the reference's main.py:194-197 recipe)",
+    )
     p.add_argument("--crop-size", default=None,
                    help="h,w StaticRandomCrop augmentation")
     p.add_argument("--schedule-lr-frequency", type=int, default=0)
@@ -581,6 +694,37 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_flow_train)
+
+    p = sub.add_parser(
+        "flow-infer",
+        help="run a flow net over a flow dataset, optionally saving .flo "
+        "predictions, and report EPE (the reference's --inference mode)",
+    )
+    p.add_argument("--data-root", required=True)
+    p.add_argument(
+        "--dataset", default="FlyingChairs",
+        choices=["FlyingChairs", "MpiSintel", "ChairsSDHom"],
+    )
+    p.add_argument("--dstype", default="clean",
+                   help="MpiSintel pass: clean | final")
+    p.add_argument(
+        "--net", default="FlowNet2",
+        choices=["FlowNetC", "FlowNetS", "FlowNetSD",
+                 "FlowNet2", "FlowNet2CS", "FlowNet2CSS"],
+    )
+    p.add_argument("--checkpoint", default=None,
+                   help="torch .pth(.tar) weights")
+    p.add_argument("--workdir", default=None,
+                   help="flow-train workdir to load model_best from")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--n-batches", type=int, default=-1,
+                   help="stop after N batches (-1 = whole dataset)")
+    p.add_argument("--save-flow", action="store_true",
+                   help="write each prediction as %%06d.flo")
+    p.add_argument("--out", default=None,
+                   help="directory for saved flows (default: "
+                   "<workdir>/inference)")
+    p.set_defaults(fn=cmd_flow_infer)
 
     p = sub.add_parser(
         "export-torch",
@@ -593,6 +737,24 @@ def main(argv=None) -> int:
         help="output directory (default: alongside the .npz model)",
     )
     p.set_defaults(fn=cmd_export_torch)
+
+    p = sub.add_parser(
+        "import-torch",
+        help="import a released reference checkpoint set (model_set + "
+        "training-score grids) into the .npz model `test` loads",
+    )
+    _add_common(p)
+    p.add_argument(
+        "--model-dir", required=True,
+        help="directory holding <ds>_model_<mode>_<method>.npy + the "
+        "raw/of training-score files (the reference's data/raw2flow)",
+    )
+    p.add_argument(
+        "--out", default=None,
+        help="output .npz path (default: the canonical model path under "
+        "--base, where `test` looks)",
+    )
+    p.set_defaults(fn=cmd_import_torch)
 
     p = sub.add_parser("extract-frames", help="video file -> frame images")
     p.add_argument("--video", required=True)

@@ -112,7 +112,7 @@ def compute_optical_flow(
             def one(args):
                 a, b = args
                 return run_chunk(
-                    v, jnp.take(fj, a, axis=0), jnp.take(fj, b, axis=0)
+                    v, jnp.take(fj, a, axis=0, mode="clip"), jnp.take(fj, b, axis=0, mode="clip")
                 )
 
             return jax.lax.map(one, (i1, i2))
@@ -127,8 +127,8 @@ def compute_optical_flow(
         sel = np.arange(lo, hi)
         pad = chunk - sel.size
         sel_p = np.concatenate([sel, np.full(pad, sel[-1])])
-        f1 = jnp.take(frames_j, jnp.asarray(first[sel_p]), axis=0)
-        f2 = jnp.take(frames_j, jnp.asarray(second[sel_p]), axis=0)
+        f1 = jnp.take(frames_j, jnp.asarray(first[sel_p]), axis=0, mode="clip")
+        f2 = jnp.take(frames_j, jnp.asarray(second[sel_p]), axis=0, mode="clip")
         flow = np.asarray(run_chunk_j(variables, f1, f2))
         out[lo:hi] = flow[: sel.size]
     return out
@@ -176,7 +176,7 @@ def compute_optical_flow_segmented(
         def one(args):
             a, b = args
             return run_chunk(
-                v, jnp.take(fwin, a, axis=0), jnp.take(fwin, b, axis=0)
+                v, jnp.take(fwin, a, axis=0, mode="clip"), jnp.take(fwin, b, axis=0, mode="clip")
             )
 
         return jax.lax.map(one, (i1, i2))

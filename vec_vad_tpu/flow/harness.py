@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from vec_vad_tpu.flow.losses import multiscale_loss
+from vec_vad_tpu.flow.losses import multiscale_loss, single_scale_loss
 from vec_vad_tpu.flow.trainer import FlowTrainer, FlowTrainState
 
 
@@ -50,17 +50,31 @@ class FlowHarness:
         trainer: FlowTrainer,
         workdir: str,
         norm: str = "L1",
+        loss: Optional[str] = None,
     ):
+        """loss: 'multiscale' | 'single' — defaults to the trainer's mode
+        so validation scores the same objective training optimizes."""
         self.trainer = trainer
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         net = trainer.net
+        loss = loss or getattr(trainer, "loss_mode", "multiscale")
 
-        def eval_step(params, pairs, target):
-            pyramid = net.apply({"params": params}, pairs, True)
-            return multiscale_loss(pyramid, target, norm=norm)
+        if loss == "multiscale":
+            def eval_step(params, pairs, target):
+                pyramid = net.apply({"params": params}, pairs, True)
+                return multiscale_loss(pyramid, target, norm=norm)
+        else:
+            def eval_step(params, pairs, target):
+                flow = net.apply({"params": params}, pairs, False)
+                return single_scale_loss(flow, target, norm=norm)
 
         self._eval_step = jax.jit(eval_step)
+        # full-res inference forward (train=False returns the fused,
+        # div_flow-scaled flow for every net in the zoo)
+        self._infer_step = jax.jit(
+            lambda params, pairs: net.apply({"params": params}, pairs, False)
+        )
 
     # -- checkpointing ------------------------------------------------------
 
@@ -108,6 +122,50 @@ class FlowHarness:
             tot += float(epe_v) * b
             n += b
         return tot / max(n, 1)
+
+    # -- inference mode -----------------------------------------------------
+
+    def infer(
+        self,
+        params,
+        dataset,
+        batch_size: int,
+        save_dir: Optional[str] = None,
+        n_batches: int = -1,
+    ) -> Dict:
+        """Run the net full-res over a flow dataset; optionally save
+        predictions; report mean EPE.
+
+        The reference's --inference mode (main.py:87-100 flips the run
+        into inference; main.py:524-589 runs the loader, writes each
+        prediction as `%06d.flo` under the save dir when --save_flow is
+        set, and reports the loss statistics). Datasets without ground
+        truth load all-zero targets there, making 'EPE' the mean flow
+        norm — same here. Returns {'epe': float, 'n': int, 'flows': dir}.
+        """
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            from vec_vad_tpu.utils.flowviz import write_flo
+        tot, n = 0.0, 0
+        for bi, (pairs, target) in enumerate(
+            dataset.batches(batch_size, shuffle=False)
+        ):
+            if n_batches >= 0 and bi >= n_batches:
+                break
+            flow = np.asarray(
+                self._infer_step(params, jnp.asarray(pairs))
+            )
+            per = np.sqrt(
+                np.sum((flow - target) ** 2, axis=-1)
+            ).mean(axis=(1, 2))
+            tot += float(per.sum())
+            if save_dir:
+                for i in range(flow.shape[0]):
+                    write_flo(
+                        os.path.join(save_dir, f"{n + i:06d}.flo"), flow[i]
+                    )
+            n += flow.shape[0]
+        return {"epe": tot / max(n, 1), "n": n, "flows": save_dir}
 
     # -- the epoch loop -----------------------------------------------------
 

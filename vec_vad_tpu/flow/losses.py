@@ -44,6 +44,26 @@ def l2_loss(pred: jnp.ndarray, target: jnp.ndarray, sample_weight=None) -> jnp.n
     return epe(pred, target, sample_weight)  # reference "L2" = per-pixel norm mean
 
 
+def single_scale_loss(
+    flow: jnp.ndarray,
+    target: jnp.ndarray,
+    norm: str = "L1",
+    sample_weight=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(loss, epe) pairing one fused full-res flow with the target.
+
+    The reference trains the FlowNet2/CS/CSS composites exactly this way:
+    the model returns a single flow and L1Loss/L2Loss compare it to the
+    raw target with no pyramid, no div_flow scaling (main.py:194-197
+    selects the loss by name; losses.py:22-45). 'L2' is the per-pixel
+    norm mean, which equals EPE."""
+    loss_fn = l1_loss if norm == "L1" else l2_loss
+    return (
+        loss_fn(flow, target, sample_weight),
+        epe(flow, target, sample_weight),
+    )
+
+
 def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return nn.avg_pool(x, (k, k), (k, k))
 

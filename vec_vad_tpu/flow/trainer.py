@@ -17,7 +17,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh
 
-from vec_vad_tpu.flow.losses import multiscale_loss
+from vec_vad_tpu.flow.losses import multiscale_loss, single_scale_loss
 from vec_vad_tpu.parallel.mesh import data_sharding, get_mesh, replicated_sharding
 
 
@@ -25,6 +25,24 @@ class FlowTrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+
+
+class PairMajorAdapter(nn.Module):
+    """(B, H, W, 6) dataset batches -> the composites' (B, 2, H, W, 3).
+
+    The flow datasets emit channel-stacked pairs (img0|img1 on the last
+    axis) for the component nets; the FlowNet2/CS/CSS composites take
+    frame-major input and normalize internally (flownet2.py:66-72).
+    Wrapping keeps FlowTrainer/FlowHarness net-agnostic. Params nest
+    under 'inner' (a converted composite checkpoint loads as
+    {'inner': variables['params']})."""
+
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, pairs, train: bool = False):
+        x = jnp.stack([pairs[..., :3], pairs[..., 3:]], axis=1)
+        return self.inner(x, train)
 
 
 class FlowTrainer:
@@ -39,11 +57,22 @@ class FlowTrainer:
         mesh: Optional[Mesh] = None,
         schedule_lr_frequency: int = 0,
         schedule_lr_fraction: float = 10.0,
+        loss: str = "multiscale",
     ):
         """schedule_lr_frequency/fraction: lr /= fraction every `frequency`
         iterations (FlowNet2_src/main.py:47-51, the reference's
         update_hyperparameter_schedule) — expressed as a pure step-count
-        schedule so the compiled train step needs no host-side mutation."""
+        schedule so the compiled train step needs no host-side mutation.
+
+        loss: 'multiscale' supervises a pyramid-returning component net
+        (FlowNetC/S/SD, MultiScale loss); 'single' supervises a fused
+        single-flow output — the reference's recipe for the
+        FlowNet2/CS/CSS composites (main.py:194-197 pairs them with
+        L1Loss/L2Loss on the full-res output, losses.py:22-45). `norm`
+        picks L1/L2 in both modes."""
+        if loss not in ("multiscale", "single"):
+            raise ValueError(f"loss must be 'multiscale' or 'single', got {loss!r}")
+        self.loss_mode = loss
         self.net = net
         if schedule_lr_frequency:
             def lr(count):
@@ -60,12 +89,23 @@ class FlowTrainer:
         rep = replicated_sharding(self.mesh) if multi else None
         dat = data_sharding(self.mesh) if multi else None
 
-        def loss_fn(params, pairs, target, w):
-            pyramid = net.apply({"params": params}, pairs, True)
-            loss, epe_v = multiscale_loss(
-                pyramid, target, norm=norm, sample_weight=w
-            )
-            return loss, epe_v
+        if loss == "multiscale":
+            def loss_fn(params, pairs, target, w):
+                pyramid = net.apply({"params": params}, pairs, True)
+                return multiscale_loss(
+                    pyramid, target, norm=norm, sample_weight=w
+                )
+        else:
+            def loss_fn(params, pairs, target, w):
+                # train=False: the composites return the fused flow under
+                # both flags (the reference's pretrained zoo is
+                # batchNorm-free, so no train-mode stats are at stake) and
+                # the FlowNet2C/S/SD wrappers only return a single flow on
+                # this path
+                flow = net.apply({"params": params}, pairs, False)
+                return single_scale_loss(
+                    flow, target, norm=norm, sample_weight=w
+                )
 
         def train_step(state: FlowTrainState, pairs, target, w):
             (loss, epe_v), grads = jax.value_and_grad(loss_fn, has_aux=True)(

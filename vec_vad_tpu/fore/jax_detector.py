@@ -118,7 +118,7 @@ def _detect_batch(net, params, frames, top_k):
     scores, idx = jax.lax.top_k(flat, top_k)
     iy = (idx // fw).astype(jnp.float32)
     ix = (idx % fw).astype(jnp.float32)
-    take = lambda t: jnp.take_along_axis(t.reshape(B, fh * fw, 2), idx[..., None], axis=1)
+    take = lambda t: jnp.take_along_axis(t.reshape(B, fh * fw, 2), idx[..., None], axis=1, mode="clip")
     sz = take(size)
     of = take(off)
     cx = (ix + of[..., 0]) * STRIDE

@@ -241,7 +241,7 @@ def roi_align_pyramid(pyramid: Sequence[jnp.ndarray], boxes) -> jnp.ndarray:
             for i in range(4)]
     stacked = jnp.stack(outs)  # (4, N, 7, 7, C)
     return jnp.take_along_axis(
-        stacked, lvl[None, :, None, None, None], axis=0)[0]
+        stacked, lvl[None, :, None, None, None], axis=0, mode="clip")[0]
 
 
 # ---------------------------------------------------------------------------

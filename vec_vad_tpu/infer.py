@@ -55,9 +55,9 @@ def _resident_fns(
         mu_r, sd_r, mu_o, sd_o = stats
 
         def one_batch(ii):
-            x = jnp.take(cubes, ii, axis=0).astype(compute_dtype) / 255.0
+            x = jnp.take(cubes, ii, axis=0, mode="clip").astype(compute_dtype) / 255.0
             if use_flow:
-                x_of = jnp.take(flows, ii, axis=0).astype(compute_dtype)
+                x_of = jnp.take(flows, ii, axis=0, mode="clip").astype(compute_dtype)
             else:
                 x_of = jnp.zeros(
                     (cube_batch, P, P, net.tot_of_num * net.of_channels),
@@ -342,7 +342,7 @@ def make_score_chunk_fn(
         valid,  # (B, K) bool
     ):
         B, K = boxes.shape[:2]
-        wins = jnp.take(frames_dev, windows, axis=0)  # (B, T, H, W, 3)
+        wins = jnp.take(frames_dev, windows, axis=0, mode="clip")  # (B, T, H, W, 3)
         cubes = jax.vmap(
             lambda w, b: extract_stc(w, b, patch_size, quantize=True)
         )(wins, boxes)  # (B, K, T, P, P, 3)
@@ -350,7 +350,7 @@ def make_score_chunk_fn(
         x = x.reshape((B * K,) + x.shape[2:])
 
         if use_flow:
-            fwins = jnp.take(flow_dev, of_windows, axis=0)
+            fwins = jnp.take(flow_dev, of_windows, axis=0, mode="clip")
             fcubes = jax.vmap(
                 lambda w, b: extract_stc(w, b, patch_size, quantize=False)
             )(fwins, boxes)  # (B, K, T_of, P, P, 2)

@@ -151,3 +151,67 @@ def load_reference_model_grid(
 
     walk(model_set, ())
     return out
+
+
+def import_model_grid(cfg, model_dir: str, *, mode: str = None, method: str = None):
+    """Load the reference's released artifact set into a VadModel.
+
+    Inverse of `completion_export.export_model_grid`: consumes the three
+    torch.save files test.py:229-267 reads — `<ds>_model_<mode>_<method>.npy`
+    (nested grid of [state_dict]) plus the raw/of training-score grids that
+    carry the z-normalization statistics — and returns a VadModel ready for
+    `runner.run_test` / `save_vad_model`. The released checkpoints
+    (README.md:63, e.g. avenue_model_5raw1of_auc0.902) ship exactly this
+    set.
+    """
+    import os
+
+    import torch
+
+    from vec_vad_tpu.models.completion import make_completion_net
+    from vec_vad_tpu.pipeline import VadModel
+    from vec_vad_tpu.train.trainer import TrainedBlock
+
+    mode = mode or cfg.fore.extraction_mode
+    method = method or cfg.method
+
+    def path(tag: str) -> str:
+        return os.path.join(
+            model_dir, f"{cfg.dataset_name}_{tag}_{mode}_{method}.npy"
+        )
+
+    net = make_completion_net(cfg.model)
+    grid = load_reference_model_grid(path("model"), net)
+    if not grid:
+        raise ValueError(f"{path('model')}: no trained blocks in model_set")
+    raw_set = torch.load(
+        path("raw_training_scores"), map_location="cpu", weights_only=False
+    )
+    of_set = None
+    if cfg.model.use_flow and os.path.exists(path("of_training_scores")):
+        of_set = torch.load(
+            path("of_training_scores"), map_location="cpu", weights_only=False
+        )
+
+    def leaf(node, key):
+        for i in key:
+            node = node[i]
+        return node
+
+    blocks = {}
+    for key, variables in grid:
+        # single-scene grids are [h][w]; SHT-style are [scene][h][w]
+        k3 = key if len(key) == 3 else (0,) + tuple(key)
+        raw_scores = np.asarray(leaf(raw_set, key), np.float32)
+        of_scores = None
+        if of_set is not None:
+            v = leaf(of_set, key)
+            if not (isinstance(v, list) and len(v) == 0):
+                of_scores = np.asarray(v, np.float32)
+        blocks[k3] = TrainedBlock(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            raw_scores=raw_scores,
+            of_scores=of_scores,
+        )
+    return VadModel(cfg=cfg, blocks=blocks)

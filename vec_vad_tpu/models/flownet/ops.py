@@ -428,8 +428,8 @@ def upsample_bilinear(
         i0 = jnp.floor(c).astype(jnp.int32)
         i1 = jnp.minimum(i0 + 1, arr.shape[axis] - 1)
         frac = (c - i0).reshape((-1,) + (1,) * (arr.ndim - axis - 1))
-        a0 = jnp.take(arr, i0, axis=axis)
-        a1 = jnp.take(arr, i1, axis=axis)
+        a0 = jnp.take(arr, i0, axis=axis, mode="clip")
+        a1 = jnp.take(arr, i1, axis=axis, mode="clip")
         return a0 * (1 - frac) + a1 * frac
 
     out = interp_axis(x, yc, 1)

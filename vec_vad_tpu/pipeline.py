@@ -84,7 +84,7 @@ def _extract_chunk(frames_dev, windows, boxes, patch_size):
     boxes: (B, K, 4). Returns (B, K, P, P, T*C) float32 rounded to integer
     levels (the reference stores uint8 cubes, vad_datasets.py:77-90).
     """
-    wins = jnp.take(frames_dev, windows, axis=0)  # (B, T, H, W, C)
+    wins = jnp.take(frames_dev, windows, axis=0, mode="clip")  # (B, T, H, W, C)
     cubes = jax.vmap(
         lambda w, b: extract_stc(w, b, patch_size, quantize=True)
     )(wins, boxes)
@@ -97,7 +97,7 @@ def _extract_chunk(frames_dev, windows, boxes, patch_size):
 def _extract_chunk_float(frames_dev, windows, boxes, patch_size):
     """Float variant (flow maps): no quantization, plus per-cube motion
     magnitude (train.py:167-178)."""
-    wins = jnp.take(frames_dev, windows, axis=0)
+    wins = jnp.take(frames_dev, windows, axis=0, mode="clip")
     cubes = jax.vmap(
         lambda w, b: extract_stc(w, b, patch_size, quantize=False)
     )(wins, boxes)
@@ -259,7 +259,7 @@ def _resident_extract_fns(patch_size: int):
     def extract_all(fd, wins, boxes):
         def one_chunk(args):
             w, b = args
-            wd = jnp.take(fd, w, axis=0)
+            wd = jnp.take(fd, w, axis=0, mode="clip")
             cubes = jax.vmap(
                 lambda ww, bb: extract_stc(ww, bb, patch_size, quantize=True)
             )(wd, b)
@@ -271,7 +271,7 @@ def _resident_extract_fns(patch_size: int):
     def extract_all_flow(fd, wins, boxes):
         def one_chunk(args):
             w, b = args
-            wd = jnp.take(fd, w, axis=0)
+            wd = jnp.take(fd, w, axis=0, mode="clip")
             cubes = jax.vmap(
                 lambda ww, bb: extract_stc(ww, bb, patch_size, quantize=False)
             )(wd, b)
@@ -281,7 +281,7 @@ def _resident_extract_fns(patch_size: int):
 
     @jax.jit
     def gather_rows(buf, idx):
-        return jnp.take(buf, idx, axis=0)
+        return jnp.take(buf, idx, axis=0, mode="clip")
 
     return extract_all, extract_all_flow, gather_rows
 

@@ -356,14 +356,14 @@ class StreamingScorer:
 
         def score_from_rings(ring, flow_ring, win, owin,
                              boxes, variables, stats):
-            wd = jnp.take(ring, win, axis=0)
+            wd = jnp.take(ring, win, axis=0, mode="clip")
             cubes = extract_stc(wd, boxes, P, quantize=True)
             # uint8 round-trip: bit-identical to the offline HBM cube buffer
             x = cube_to_input(cubes, scale=False).astype(jnp.uint8)
             x = x.astype(cdt) / 255.0
 
             if use_flow:
-                owd = jnp.take(flow_ring, owin, axis=0)
+                owd = jnp.take(flow_ring, owin, axis=0, mode="clip")
                 fcubes = extract_stc(owd, boxes, P, quantize=False)
                 mag = flow_magnitude(fcubes)
                 x_of = cube_to_input(fcubes, scale=False).astype(cdt)
@@ -974,8 +974,8 @@ class FlowStreamingScorer(StreamingScorer):
 
             def live(fr):
                 pair = jnp.stack(
-                    [jnp.take(ring, prev_slot, axis=0),
-                     jnp.take(ring, slot, axis=0)]
+                    [jnp.take(ring, prev_slot, axis=0, mode="clip"),
+                     jnp.take(ring, slot, axis=0, mode="clip")]
                 )  # (2, H, W, 3) uint8
                 # the driver's protocol exactly (flow/driver.py
                 # run_chunk): cv2-parity resize to model_hw, forward,
@@ -1512,7 +1512,7 @@ class MotionStreamingScorer(StreamingScorer):
                 ring, flow_ring, frame, flow_map, base, boxes,
                 variables, stats,
             )
-            wd = jnp.take(ring, mwin, axis=0)  # (3, H, W, C) uint8
+            wd = jnp.take(ring, mwin, axis=0, mode="clip")  # (3, H, W, C) uint8
             mp = motion_maps(wd[None], gk, bthr)[0]  # (H, W) bool
             H, W = mp.shape
             wp = -(-W // 8) * 8

@@ -115,7 +115,7 @@ class GridTrainer:
         def one_block_train(state, raw_u8, of_buf, idx, wmask, active):
             def body(st, step_inputs):
                 ii, w, act = step_inputs
-                x = jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
+                x = jnp.take(raw_u8, ii, axis=0, mode="clip").astype(jnp.float32) / 255.0
                 if cfg.use_flow:
                     # minimum-clamp: a flow-less fit passes a 1-row dummy of_buf
                     # and jnp.take's default OOB mode FILLS WITH NaN —
@@ -123,7 +123,8 @@ class GridTrainer:
                     # x_of as the target) while the raw stream trained on
                     # (clamped reads return the dummy's zero row)
                     x_of = jnp.take(
-                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0
+                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0,
+                        mode="clip",
                     )
                 else:
                     x_of = jnp.zeros(
@@ -151,7 +152,7 @@ class GridTrainer:
 
         def one_block_score(state, raw_u8, of_buf, idx):
             def body(ii):
-                x = jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
+                x = jnp.take(raw_u8, ii, axis=0, mode="clip").astype(jnp.float32) / 255.0
                 if cfg.use_flow:
                     # minimum-clamp: a flow-less fit passes a 1-row dummy of_buf
                     # and jnp.take's default OOB mode FILLS WITH NaN —
@@ -159,7 +160,8 @@ class GridTrainer:
                     # x_of as the target) while the raw stream trained on
                     # (clamped reads return the dummy's zero row)
                     x_of = jnp.take(
-                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0
+                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0,
+                        mode="clip",
                     )
                 else:
                     x_of = jnp.zeros(

@@ -222,7 +222,7 @@ class BlockTrainer:
             def body(st, step_inputs):
                 ii, w = step_inputs
                 x = constrain(
-                    jnp.take(raw_u8, ii, axis=0).astype(jnp.float32) / 255.0
+                    jnp.take(raw_u8, ii, axis=0, mode="clip").astype(jnp.float32) / 255.0
                 )
                 if cfg.use_flow:
                     # minimum-clamp: a flow-less fit passes a 1-row dummy of_buf
@@ -231,7 +231,8 @@ class BlockTrainer:
                     # x_of as the target) while the raw stream trained on
                     # (clamped reads return the dummy's zero row)
                     x_of = jnp.take(
-                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0
+                        of_buf, jnp.minimum(ii, of_buf.shape[0] - 1), axis=0,
+                        mode="clip",
                     )
                 else:
                     x_of = jnp.zeros(
@@ -254,7 +255,7 @@ class BlockTrainer:
         def make_score_scan(scale: bool):
             def score_scan(state: BlockModelState, raw_buf, of_buf, idx):
                 def body(ii):
-                    x = jnp.take(raw_buf, ii, axis=0).astype(jnp.float32)
+                    x = jnp.take(raw_buf, ii, axis=0, mode="clip").astype(jnp.float32)
                     if scale:
                         x = x / 255.0
                     if cfg.use_flow:
@@ -265,6 +266,7 @@ class BlockTrainer:
                             of_buf,
                             jnp.minimum(ii, of_buf.shape[0] - 1),
                             axis=0,
+                            mode="clip",
                         )
                     else:
                         x_of = jnp.zeros(
