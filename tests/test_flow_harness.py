@@ -78,6 +78,11 @@ def test_fit_validates_and_checkpoints(chairs_dir, tmp_path):
     assert os.path.exists(os.path.join(harness.workdir, FlowHarness.CKPT))
     assert os.path.exists(os.path.join(harness.workdir, FlowHarness.BEST))
 
+    # inference mode on a pyramid-returning net: full-res flow is
+    # upsample4(flow2 * div_flow), the reference wrappers' eval path
+    res = harness.infer(result.state.params, ds, batch_size=5, n_batches=1)
+    assert res["n"] == 5 and np.isfinite(res["epe"])
+
 
 def test_resume_continues_exact_trajectory(chairs_dir, tmp_path):
     """Killing after epoch 2 and restarting reproduces the uninterrupted
@@ -133,3 +138,108 @@ def test_lr_schedule_decays():
     for _ in range(12):
         state, m = tr.step(state, pairs, tgt)
     assert int(state.step) == 12  # schedule is step-driven and jit-safe
+
+
+class TinyFusedNet(nn.Module):
+    """Single fused-flow net with the composite output contract
+    (FlowNet2/CS/CSS return one (B, H, W, 2) flow)."""
+
+    @nn.compact
+    def __call__(self, pairs, train: bool = False):
+        x = pairs / 255.0
+        h = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+        return nn.Conv(2, (3, 3), padding="SAME")(h)
+
+
+def test_single_scale_loss_matches_torch_recipe():
+    """Oracle: the literal reference L1Loss/L2Loss + EPE
+    (FlowNet2_src/losses.py:7-45)."""
+    import torch
+
+    from vec_vad_tpu.flow.losses import single_scale_loss
+
+    rng = np.random.default_rng(1)
+    o = rng.normal(size=(3, 8, 9, 2)).astype(np.float32)
+    t = rng.normal(size=(3, 8, 9, 2)).astype(np.float32)
+    ot = torch.from_numpy(o.transpose(0, 3, 1, 2))
+    tt = torch.from_numpy(t.transpose(0, 3, 1, 2))
+    l1, e1 = single_scale_loss(jnp.asarray(o), jnp.asarray(t), norm="L1")
+    l2, e2 = single_scale_loss(jnp.asarray(o), jnp.asarray(t), norm="L2")
+    epe_t = float(torch.norm(tt - ot, p=2, dim=1).mean())
+    assert abs(float(l1) - float(torch.abs(ot - tt).mean())) < 1e-6
+    assert abs(float(l2) - epe_t) < 1e-6  # reference L2 == EPE
+    assert abs(float(e1) - epe_t) < 1e-6
+    assert abs(float(e2) - epe_t) < 1e-6
+
+    with pytest.raises(ValueError):
+        FlowTrainer(TinyFusedNet(), loss="bogus")
+
+
+def test_single_scale_fit_and_infer_roundtrip(chairs_dir, tmp_path):
+    """Composite-recipe training (single-scale loss on the fused output)
+    learns the constant-flow problem, and the inference mode
+    (main.py:524-589) writes %06d.flo predictions that reproduce the
+    reported EPE exactly."""
+    import os
+
+    from vec_vad_tpu.utils.flowviz import read_flo
+
+    ds = FlyingChairs(chairs_dir)
+    trainer = FlowTrainer(
+        TinyFusedNet(), learning_rate=5e-3, loss="single", norm="L1"
+    )
+    harness = FlowHarness(trainer, str(tmp_path / "run"))
+    result = harness.fit(ds, ds, total_epochs=3, batch_size=5, seed=0)
+    assert result.history[-1]["val_epe"] < result.history[0]["val_epe"]
+
+    out = str(tmp_path / "flows")
+    res = harness.infer(result.state.params, ds, batch_size=4, save_dir=out)
+    assert res["n"] == 10
+    files = sorted(os.listdir(out))
+    assert files == [f"{i:06d}.flo" for i in range(10)]
+    flows = np.stack([read_flo(os.path.join(out, f)) for f in files])
+    assert flows.shape == (10, 64, 64, 2)
+    targets = np.concatenate(
+        [t for _, t in ds.batches(4, shuffle=False)], axis=0
+    )
+    epe = float(np.sqrt(((flows - targets) ** 2).sum(-1)).mean(axis=(1, 2)).mean())
+    np.testing.assert_allclose(epe, res["epe"], rtol=1e-5)
+
+    res2 = harness.infer(result.state.params, ds, batch_size=4, n_batches=1)
+    assert res2["n"] == 4
+
+
+def test_real_composite_trains_one_step():
+    """The REAL FlowNet2CS composite (78M params) takes one single-scale
+    step through the PairMajorAdapter — the reference trains the
+    composites exactly this way (main.py:194-197 pairs them with
+    L1Loss/L2Loss on the fused full-res output)."""
+    from vec_vad_tpu.flow.trainer import PairMajorAdapter
+    from vec_vad_tpu.models import flownet
+
+    net = PairMajorAdapter(inner=flownet.FlowNet2CS())
+    tr = FlowTrainer(net, loss="single", norm="L1")
+    rng = np.random.default_rng(0)
+    pairs = rng.uniform(0, 255, (1, 64, 64, 6)).astype(np.float32)
+    target = rng.normal(size=(1, 64, 64, 2)).astype(np.float32)
+    state = tr.init_state(pairs)
+    state, m = tr.step(state, pairs, target)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["epe"]))
+
+
+def test_cli_flow_net_loss_validation(chairs_dir, tmp_path):
+    """flow-train rejects composite+multiscale and component+single with
+    actionable messages; flow-infer refuses to run without weights
+    (main.py:352-354 quits the same way)."""
+    from vec_vad_tpu.cli import main
+
+    common = ["--data-root", chairs_dir, "--workdir", str(tmp_path / "w")]
+    with pytest.raises(SystemExit, match="fused"):
+        main(["flow-train", *common, "--net", "FlowNet2CS"])
+    with pytest.raises(SystemExit, match="multiscale"):
+        main(["flow-train", *common, "--net", "FlowNetS", "--loss", "L1"])
+    with pytest.raises(SystemExit, match="weights"):
+        main([
+            "flow-infer", "--data-root", chairs_dir, "--net", "FlowNetS",
+            "--workdir", str(tmp_path / "empty"),
+        ])

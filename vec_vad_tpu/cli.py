@@ -347,6 +347,41 @@ def cmd_calc_flow(args) -> int:
     return 0
 
 
+_FLOW_COMPOSITES = {"FlowNet2", "FlowNet2CS", "FlowNet2CSS"}
+
+
+def _make_flow_net(name: str):
+    """Build a flow net for the training/inference harness: component
+    nets take the datasets' (B,H,W,6) batches directly; the composites
+    get the PairMajorAdapter wrap (they take (B,2,H,W,3) and return one
+    fused flow)."""
+    from vec_vad_tpu.flow.trainer import PairMajorAdapter
+    from vec_vad_tpu.models import flownet
+
+    inner = getattr(flownet, name)()
+    return PairMajorAdapter(inner=inner) if name in _FLOW_COMPOSITES else inner
+
+
+def _load_flow_torch_checkpoint(net, name: str, hw, path: str):
+    """Torch checkpoint -> params for a _make_flow_net net (composites:
+    load into the bare composite whose tree matches the torch key space,
+    then nest under the adapter's 'inner' scope)."""
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.models.flownet import load_flownet2_checkpoint
+
+    th, tw = hw
+    if name in _FLOW_COMPOSITES:
+        variables, report = load_flownet2_checkpoint(
+            net.inner, jnp.zeros((1, 2, th, tw, 3)), path
+        )
+        return {"inner": variables["params"]}, report
+    variables, report = load_flownet2_checkpoint(
+        net, jnp.zeros((1, th, tw, 6)), path
+    )
+    return variables["params"], report
+
+
 def cmd_flow_train(args) -> int:
     """Fine-tune a flow net on Sintel/FlyingChairs/ChairsSDHom trees —
     the reference's FlowNet2_src/main.py harness as a CLI: epoch loop
@@ -361,14 +396,13 @@ def cmd_flow_train(args) -> int:
     )
     from vec_vad_tpu.flow.harness import FlowHarness
     from vec_vad_tpu.flow.trainer import FlowTrainer
-    from vec_vad_tpu.models import flownet
 
     # component nets (FlowNetC/S/SD) return a multi-scale pyramid in train
     # mode and pair with the MultiScale loss; the FlowNet2/CS/CSS
     # composites return ONE fused flow and the reference trains them with
     # single-scale L1Loss/L2Loss on it (main.py:194-197, losses.py:22-45)
     components = {"FlowNetC", "FlowNetS", "FlowNetSD"}
-    composites = {"FlowNet2", "FlowNet2CS", "FlowNet2CSS"}
+    composites = _FLOW_COMPOSITES
     if args.net in components:
         if args.loss != "multiscale":
             raise SystemExit(
@@ -386,7 +420,7 @@ def cmd_flow_train(args) -> int:
         loss_mode, norm = "single", args.loss
     else:
         raise SystemExit(f"unknown --net {args.net!r}")
-    net = getattr(flownet, args.net)()
+    net = _make_flow_net(args.net)
 
     crop = (
         tuple(int(v) for v in args.crop_size.split(","))
@@ -415,17 +449,11 @@ def cmd_flow_train(args) -> int:
         schedule_lr_fraction=args.schedule_lr_fraction,
     )
     if args.checkpoint:
-        import jax.numpy as jnp
-
-        from vec_vad_tpu.models.flownet import load_flownet2_checkpoint
-
-        th, tw = train_ds.crop_size or train_ds.render_size
-        x0 = jnp.zeros((1, th, tw, 6))
-        variables, report = load_flownet2_checkpoint(
-            net, x0, args.checkpoint
+        hw = train_ds.crop_size or train_ds.render_size
+        init_params, report = _load_flow_torch_checkpoint(
+            net, args.net, hw, args.checkpoint
         )
         print(f"loaded checkpoint: {len(report['matched'])} tensors")
-        init_params = variables["params"]
 
     harness = FlowHarness(trainer, args.workdir, norm=norm)
     result = harness.fit(
@@ -459,9 +487,8 @@ def cmd_flow_infer(args) -> int:
     )
     from vec_vad_tpu.flow.harness import FlowHarness
     from vec_vad_tpu.flow.trainer import FlowTrainer
-    from vec_vad_tpu.models import flownet
 
-    net = getattr(flownet, args.net)()
+    net = _make_flow_net(args.net)
     makers = {
         "MpiSintel": lambda root, **kw: MpiSintel(
             root, dstype=args.dstype, **kw
@@ -478,15 +505,10 @@ def cmd_flow_infer(args) -> int:
 
     params = None
     if args.checkpoint:
-        import jax.numpy as jnp
-
-        from vec_vad_tpu.models.flownet import load_flownet2_checkpoint
-
-        variables, report = load_flownet2_checkpoint(
-            net, jnp.asarray(pairs0[:1]), args.checkpoint
+        params, report = _load_flow_torch_checkpoint(
+            net, args.net, pairs0.shape[1:3], args.checkpoint
         )
         print(f"loaded torch checkpoint: {len(report['matched'])} tensors")
-        params = variables["params"]
     elif args.workdir:
         template = trainer.init_state(pairs0[:1], seed=0)
         loaded = harness.load_checkpoint(template, best=True)

@@ -70,11 +70,24 @@ class FlowHarness:
                 return single_scale_loss(flow, target, norm=norm)
 
         self._eval_step = jax.jit(eval_step)
-        # full-res inference forward (train=False returns the fused,
-        # div_flow-scaled flow for every net in the zoo)
-        self._infer_step = jax.jit(
-            lambda params, pairs: net.apply({"params": params}, pairs, False)
-        )
+
+        # full-res inference forward: composites (and the FlowNet2C/S/SD
+        # wrappers) return the fused flow under train=False; the raw
+        # component nets always return the pyramid, whose full-res flow is
+        # upsample4(flow2 * div_flow) — exactly the reference wrappers'
+        # eval path (flownet2.py:170-172, div_flow=20, bilinear
+        # align_corners=True checkpoint-era upsample)
+        def infer_fwd(params, pairs):
+            out = net.apply({"params": params}, pairs, False)
+            if isinstance(out, (tuple, list)):
+                from vec_vad_tpu.models.flownet.ops import upsample_bilinear
+
+                out = upsample_bilinear(
+                    out[0] * getattr(net, "div_flow", 20.0), 4, True
+                )
+            return out
+
+        self._infer_step = jax.jit(infer_fwd)
 
     # -- checkpointing ------------------------------------------------------
 
