@@ -205,3 +205,74 @@ def test_export_model_grid_multiscene(tmp_path):
     # raw-only model: flow keys absent, matching useFlow=False module
     ref = torch.nn.DataParallel(_reference_net(4, 1, use_flow=False))
     ref.load_state_dict(ms[2][0][0][0], strict=True)
+
+
+def test_import_model_grid_roundtrip(tmp_path):
+    """import_model_grid (the `import-torch` CLI core) is the exact
+    inverse of export_model_grid: weights, score arrays, and block keys
+    survive the torch artifact roundtrip — the path a user takes with the
+    RELEASED reference checkpoints (README.md:63)."""
+    from vec_vad_tpu.models.completion_convert import import_model_grid
+    from vec_vad_tpu.pipeline import VadModel
+    from vec_vad_tpu.train.trainer import TrainedBlock
+
+    cfg = PipelineConfig(
+        dataset_name="UCSDped2",
+        fore=ForegroundConfig(patch_size=32, h_block=2, w_block=1),
+        model=CompletionConfig(nf=4, context_of_num=0, use_flow=True),
+    )
+    _, v0 = _init_variables(cfg.model, rng_key=0)
+    _, v1 = _init_variables(cfg.model, rng_key=1)
+    rng = np.random.default_rng(7)
+    model = VadModel(cfg=cfg)
+    for key, v in (((0, 0, 0), v0), ((0, 1, 0), v1)):
+        model.blocks[key] = TrainedBlock(
+            params=v["params"],
+            batch_stats=v["batch_stats"],
+            raw_scores=rng.random(13).astype(np.float32) * 50,
+            of_scores=rng.random(13).astype(np.float32) * 5,
+        )
+    export_model_grid(model, str(tmp_path))
+
+    back = import_model_grid(cfg, str(tmp_path))
+    assert set(back.blocks) == set(model.blocks)
+    for key, blk in model.blocks.items():
+        got = back.blocks[key]
+        np.testing.assert_array_equal(got.raw_scores, blk.raw_scores)
+        np.testing.assert_array_equal(got.of_scores, blk.of_scores)
+        ours = dict(
+            jax.tree_util.tree_leaves_with_path(
+                {"params": blk.params, "batch_stats": blk.batch_stats}
+            )
+        )
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            {"params": got.params, "batch_stats": got.batch_stats}
+        ):
+            np.testing.assert_array_equal(np.asarray(leaf), ours[path])
+
+
+def test_import_model_grid_multiscene_raw_only(tmp_path):
+    """SHT-style scene grids import with (scene, h, w) keys; raw-only
+    models (use_flow=False) skip the of-score file."""
+    from vec_vad_tpu.models.completion_convert import import_model_grid
+    from vec_vad_tpu.pipeline import VadModel
+    from vec_vad_tpu.train.trainer import TrainedBlock
+
+    cfg = PipelineConfig(
+        dataset_name="ShanghaiTech",
+        fore=ForegroundConfig(patch_size=32, h_block=1, w_block=1),
+        model=CompletionConfig(nf=4, context_of_num=0, use_flow=False),
+    )
+    _, v = _init_variables(cfg.model, rng_key=2)
+    model = VadModel(cfg=cfg)
+    model.blocks[(2, 0, 0)] = TrainedBlock(
+        params=v["params"], batch_stats=v["batch_stats"],
+        raw_scores=np.arange(4, dtype=np.float32), of_scores=None,
+    )
+    export_model_grid(model, str(tmp_path))
+
+    back = import_model_grid(cfg, str(tmp_path))
+    assert set(back.blocks) == {(2, 0, 0)}
+    got = back.blocks[(2, 0, 0)]
+    np.testing.assert_array_equal(got.raw_scores, model.blocks[(2, 0, 0)].raw_scores)
+    assert got.of_scores is None
