@@ -1,0 +1,96 @@
+"""Shared serving-step plumbing: window math, one-buffer weight
+packing, and fleet sharding/allocation helpers (see the package docstring
+in serve/__init__.py)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+def _predict_window(pos: int, ctx: int) -> np.ndarray:
+    """The 'predict' border-mode context window for frame `pos` of a video,
+    in within-video coordinates: [start]*pad + [start..pos]
+    (vad_datasets.py:287-293; matches data.video_index.context_indices)."""
+    T = ctx + 1
+    start = max(pos - ctx, 0)
+    pad = T - (pos - start + 1)
+    t = np.arange(T, dtype=np.int64)
+    return start + np.maximum(t - pad, 0)
+
+
+def _pack_f32(tree, dtype=jnp.float32):
+    """Flatten a pytree into one uniform-dtype device buffer for
+    single-handle argument marshaling: (packed, shapes, treedef);
+    packed/shapes None when any leaf differs from `dtype` (pass the
+    pytree through instead)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if all(l.dtype == dtype for l in leaves):
+        return (
+            jnp.concatenate([jnp.ravel(l) for l in leaves]),
+            [l.shape for l in leaves],
+            treedef,
+        )
+    return None, None, treedef
+
+
+def _unflatten_f32(buf, shapes, treedef):
+    """Inverse of _pack_f32 under trace (static offsets -> reshapes):
+    (tree, consumed_length)."""
+    leaves, o = [], 0
+    for shp in shapes:
+        sz = int(np.prod(shp))
+        leaves.append(buf[o : o + sz].reshape(shp))
+        o += sz
+    return jax.tree_util.tree_unflatten(treedef, leaves), o
+
+
+def _fleet_arity(n_cameras, mesh) -> Tuple[int, int]:
+    """Validated (C, n_shards) for a camera fleet over an optional mesh."""
+    C = int(n_cameras)
+    if C < 1:
+        raise ValueError("n_cameras must be >= 1")
+    n = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if n > 1 and C % n:
+        raise ValueError(
+            f"n_cameras={C} must divide evenly over the {n}-device mesh"
+        )
+    return C, n
+
+
+def _shard_over_cameras(fn, mesh, n_cam_args: int, n_rep_args: int):
+    """shard_map a fleet tick over the camera axis: the first n_cam_args
+    arguments shard on their leading (camera) dim, the trailing
+    n_rep_args (weights) replicate; outputs (ring, flow_ring, outs) are
+    camera-sharded. Zero collectives — cameras are independent."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    cam = PartitionSpec(mesh.axis_names[0])
+    rep = PartitionSpec()
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(cam,) * n_cam_args + (rep,) * n_rep_args,
+        out_specs=(cam, cam, cam),
+    )
+
+
+def _alloc_camera_rings(C, rlen, h, w, of_shape, mesh, n_shards):
+    """Fleet rings, pre-sharded on the camera axis when on a mesh so the
+    donated buffers round-trip the tick without resharding."""
+    shape_r = (C, rlen, h, w, 3)
+    if n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        return (
+            jax.device_put(np.zeros(shape_r, np.uint8), sh),
+            jax.device_put(np.zeros(of_shape, np.float32), sh),
+        )
+    return jnp.zeros(shape_r, jnp.uint8), jnp.zeros(of_shape, jnp.float32)

@@ -1,0 +1,226 @@
+"""Fleet serving: C concurrent camera streams, one device call per
+tick (see the package docstring in serve/__init__.py)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vec_vad_tpu.serve._common import (
+    _alloc_camera_rings,
+    _fleet_arity,
+    _predict_window,
+    _shard_over_cameras,
+)
+from vec_vad_tpu.serve.streaming import StreamingScorer
+
+class MultiCameraScorer(StreamingScorer):
+    """Fleet serving: C concurrent camera streams scored in ONE device
+    call per tick (one frame from each camera).
+
+    Where `StreamingScorer.push_many` batches k frames of one stream
+    through a sequential `lax.scan` (each frame's ring write feeds the
+    next window), a multi-camera tick scans over the CAMERA axis with
+    each camera's ring threaded independently (no cross-camera
+    dependency): the host pays one dispatch + one result download for
+    the whole fleet, and the per-frame device cost equals the proven
+    single-stream step's. Latency-wise this beats push_many for live
+    fleets: k-batching one stream buffers k frame intervals, while a
+    fleet tick batches ACROSS streams at the natural frame rate with no
+    added buffering.
+
+    State is the single-camera design with a leading camera axis: frame
+    ring (C, R, H, W, 3), flow ring (C, R_of, H, W, 2), per-camera video
+    start/scene. All cameras share one frame geometry (fixed shapes are
+    what make the step compile once); run one scorer per geometry group
+    for a mixed fleet. Every camera contributes a frame every tick — for
+    a dropped frame, re-push the camera's previous frame with its boxes
+    (the ring then holds the same context an offline run of that
+    duplicated-frame video would).
+
+    Scores are exactly `StreamingScorer.push` per camera
+    (tests/test_serve.py::test_multicamera_matches_single).
+
+    Usage:
+        scorer = MultiCameraScorer.from_model(model, n_cameras=8)
+        scorer.start_video()                  # all cameras, scene 1
+        scorer.start_video(camera=3, scene=2) # camera 3 cuts to a new video
+        for frames, boxes in fleet_feed:      # frames (C, H, W, 3)
+            scores = scorer.push_tick(frames, boxes)   # C scores
+
+    Pass `mesh=` (a 1-D device mesh) to shard the fleet over chips: each
+    device serves C / n_devices cameras with zero collectives per tick
+    (cameras are independent), so fleet capacity scales linearly over ICI
+    while the host still pays one dispatch + one download per tick.
+    """
+
+    def __init__(self, cfg, variables=None, stats=None, *, n_cameras,
+                 mesh=None, **kw):
+        """mesh: a 1-D jax.sharding.Mesh to shard the fleet over: each
+        device serves C / n_devices cameras (rings, frames, ctrl and box
+        tensors sharded on the camera axis; weights replicated). The
+        per-device program is the proven single-device camera scan over
+        its local cameras — cameras are independent, so the tick needs
+        ZERO collectives and scales linearly over ICI. Ignored for a
+        1-device mesh (sharding annotations on a single device measurably
+        slow the scan — CLAUDE.md)."""
+        self.C, self._n_shards = _fleet_arity(n_cameras, mesh)
+        self.mesh = mesh
+        super().__init__(cfg, variables, stats, **kw)
+        self._cam_v0 = np.zeros(self.C, np.int64)
+        self._cam_scene = np.ones(self.C, np.int64)
+        self._tick = 0
+
+        one = self._one
+
+        # Formulation matters here: `vmap(one)` over the camera axis
+        # measured 67.4 ms/tick on hardware where this `lax.scan` over the
+        # camera axis (rings threaded as per-iteration xs/ys, not carry —
+        # cameras are independent) runs the identical work in 13.8 ms,
+        # matching push_many's scan body cost exactly. XLA compiles the
+        # scan body once at the single-camera shapes it already handles
+        # well; the batched-vmap program lowers the ring update/gather and
+        # crop-resize einsums into a far slower fused form.
+        def tick(ring, flow_ring, frames, flow_maps, ctrls,
+                 boxes, *weights):
+            variables, stats = self._unweight(weights)
+
+            def body(_, xs):
+                r, fr, f, fm, c, b = xs
+                r, fr, out = one(r, fr, f, fm, c, b, variables, stats)
+                return (), (r, fr, out)
+
+            _, (ring, flow_ring, outs) = jax.lax.scan(
+                body, (), (ring, flow_ring, frames, flow_maps, ctrls, boxes)
+            )
+            return ring, flow_ring, outs
+
+        if self._n_shards > 1:
+            tick = _shard_over_cameras(
+                tick, self.mesh, 6, len(self._weight_args)
+            )
+        self._step_tick = partial(jax.jit, donate_argnums=(0, 1))(tick)
+
+    # -- per-camera stream state ---------------------------------------
+
+    def start_video(self, camera: Optional[int] = None, *,
+                    scene: int = 1) -> None:
+        """Mark a video boundary on one camera (or every camera when
+        `camera` is None): its context windows never cross the boundary.
+        `scene` selects the camera's scene row of the block grid
+        (1-based, as StreamingScorer.start_video)."""
+        if camera is None:
+            self._cam_v0[:] = self._tick
+            self._cam_scene[:] = int(scene)
+        else:
+            self._cam_v0[camera] = self._tick
+            self._cam_scene[camera] = int(scene)
+
+    def push(self, *a, **kw):
+        raise NotImplementedError(
+            "MultiCameraScorer scores per tick; use push_tick "
+            "(or a StreamingScorer for a single stream)"
+        )
+
+    push_many = push
+
+    # -- the fleet tick -------------------------------------------------
+
+    def push_tick(
+        self,
+        frames: np.ndarray,
+        boxes_list,
+        flows: Optional[np.ndarray] = None,
+    ) -> Optional[List[float]]:
+        """Score one frame from each of the C cameras in one device call.
+
+        frames: (C, H, W, 3) uint8 ((C, H, W) when gray_stream);
+        boxes_list: per camera an (n_c, 4) float xyxy array;
+        flows: optional (C, H, W, 2) per-camera flow maps — None on a
+        flow-fusing model degrades per camera exactly like
+        StreamingScorer.push(flow=None).
+
+        Returns the C frame scores (ordered by camera); with
+        pipeline_depth=d, returns the scores of the tick pushed d calls
+        ago (None while the pipeline fills; drain() at stream end)."""
+        frames = np.asarray(frames, np.uint8)
+        if frames.shape[0] != self.C:
+            raise ValueError(
+                f"expected {self.C} camera frames, got {frames.shape[0]}"
+            )
+        skip_mag = self.use_flow and flows is None
+        if self.gray_stream and frames.ndim == 4:
+            frames = frames[..., 0]
+        self._ensure_rings(*frames.shape[1:3])
+
+        ctrls = np.zeros((self.C, 2 + self.R + self.R_of), np.int32)
+        boxes_pad = np.zeros((self.C, self.K, 4), np.float32)
+        nbs = []
+        for c in range(self.C):
+            pos = self._tick - self._cam_v0[c]
+            b = np.asarray(boxes_list[c], np.float32).reshape(-1, 4)
+            if b.shape[0] > self.K:
+                raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
+            boxes_pad[c, : b.shape[0]] = b
+            nbs.append(b.shape[0])
+            ctrls[c, 0] = self._tick % self.R
+            ctrls[c, 2 : 2 + self.R] = (
+                self._cam_v0[c] + _predict_window(pos, self.ctx)
+            ) % self.R
+            if self.use_flow:
+                ctrls[c, 1] = self._tick % self.R_of
+                ctrls[c, 2 + self.R :] = (
+                    self._cam_v0[c] + _predict_window(pos, self.ctx_of)
+                ) % self.R_of
+        if not self.use_flow:
+            flow_in = np.zeros((self.C, 1, 1, 2), np.float32)
+        elif flows is None:
+            flow_in = np.zeros(
+                (self.C,) + frames.shape[1:3] + (2,), np.float32
+            )
+        else:
+            flow_in = np.asarray(flows, np.float32)
+
+        self._ring, self._flow_ring, outs = self._step_tick(
+            self._ring, self._flow_ring, frames, flow_in, ctrls,
+            boxes_pad, *self._weight_args,
+        )
+        self._tick += 1
+        self._enqueue_result(outs)
+        self._pending.append(
+            (outs, boxes_pad, nbs, self._cam_scene.copy(), skip_mag)
+        )
+        if len(self._pending) <= self.pipeline_depth:
+            return None  # pipeline still filling
+        return self._finish_tick(*self._pending.popleft())
+
+    def _ensure_rings(self, h: int, w: int) -> None:
+        if self._ring is not None:
+            return
+        of_shape = (
+            (self.C, self.R_of, h, w, 2) if self.use_flow
+            else (self.C, 1, 1, 1, 2)
+        )
+        self._ring, self._flow_ring = _alloc_camera_rings(
+            self.C, self.R, h, w, of_shape, self.mesh, self._n_shards
+        )
+
+    def drain(self) -> List[List[float]]:
+        """Materialize the tick scores still in flight (stream end)."""
+        out = [self._finish_tick(*e) for e in self._pending]
+        self._pending.clear()
+        return out
+
+    def _finish_tick(self, outs, boxes_pad, nbs, scenes,
+                     skip_mag) -> List[float]:
+        outs = np.asarray(outs)  # ONE download for the whole fleet's tick
+        return [
+            self._finish(
+                outs[c], boxes_pad[c], nbs[c], int(scenes[c]), skip_mag
+            )
+            for c in range(self.C)
+        ]
