@@ -254,3 +254,51 @@ def test_cli_export_torch(tmp_path):
             padding=False,
         ))
         ref.load_state_dict(sds[0], strict=True)
+
+
+def test_cli_fleet_camera_scenes(tmp_path, capsys):
+    """`serve --cameras C --camera-scenes ...` routes each camera through
+    its own scene row of the block grid (test.py:282 model_set[scene-1]
+    semantics per camera): identical frames on two cameras assigned
+    different scenes score differently when the scenes' block statistics
+    differ; identical assignments keep the fleet spread at zero."""
+    from vec_vad_tpu.cli import main
+    from vec_vad_tpu.runtime.artifacts import load_vad_model, save_vad_model
+    from vec_vad_tpu.train.trainer import TrainedBlock
+
+    base = str(tmp_path)
+    make_synthetic_dataset(
+        root=os.path.join(base, "raw_datasets", "UCSDped2"),
+        frames_per_video=16, n_train_videos=1, n_test_videos=1,
+        frame_h=48, frame_w=64, seed=4, write_to_disk=True,
+    )
+    cfg_path = os.path.join(base, "config.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    cfg = load_ini_config(cfg_path)
+    model, path = run_train(cfg, base)
+
+    # graft a scene-2 row: same weights, shifted z-norm statistics, so a
+    # camera routed to scene 2 scores measurably differently
+    blk = model.blocks[(0, 0, 0)]
+    model.blocks[(1, 0, 0)] = TrainedBlock(
+        params=blk.params, batch_stats=blk.batch_stats,
+        raw_scores=blk.raw_scores * 3.0 + 5.0, of_scores=None,
+    )
+    save_vad_model(path, model)
+    assert set(load_vad_model(path).blocks) == {(0, 0, 0), (1, 0, 0)}
+
+    args = ["serve", "--config", cfg_path, "--base", base,
+            "--cameras", "2", "--frames", "8"]
+    rc = main(args + ["--camera-scenes", "1,2"])
+    assert rc == 0
+    split = capsys.readouterr().out.split("cross-camera score spread")
+    assert float(split[-1]) > 1e-3
+
+    rc = main(args + ["--camera-scenes", "1"])
+    assert rc == 0
+    split = capsys.readouterr().out.split("cross-camera score spread")
+    assert float(split[-1]) == 0.0
+
+    with pytest.raises(SystemExit, match="needs 2 values"):
+        main(args + ["--camera-scenes", "1,2,1"])

@@ -124,12 +124,31 @@ def _serve_fleet(cfg, model, data, args, live: bool) -> int:
 
         scorer = MultiCameraScorer.from_model(model, n_cameras=C)
 
-    # route through the first video's scene row (multi-scene grids would
-    # mis-route through scene 1 otherwise — same rule as the single path)
+    # scene routing: default = the first test video's scene row (multi-
+    # scene grids would mis-route through scene 1 otherwise — same rule
+    # as the single path); --camera-scenes assigns each camera its own
+    # scene row (the reference's test.py:282 model_set[scene_idx-1]
+    # semantics, per camera)
     scene_idx = data.index.scene_idx
-    scorer.start_video(
-        scene=int(scene_idx[0]) if scene_idx is not None else 1
-    )
+    default_scene = int(scene_idx[0]) if scene_idx is not None else 1
+    spec = getattr(args, "camera_scenes", None)
+    if spec:
+        scenes = [int(s) for s in str(spec).split(",")]
+        if len(scenes) == 1:
+            scenes = scenes * C
+        if len(scenes) != C:
+            raise SystemExit(
+                f"--camera-scenes needs {C} values (or one), got {len(scenes)}"
+            )
+    else:
+        scenes = [default_scene] * C
+    if live:
+        # the live fleet shares video boundaries; start_video takes the
+        # per-camera scene vector directly
+        scorer.start_video(scene=scenes)
+    else:
+        for c, s in enumerate(scenes):
+            scorer.start_video(camera=c, scene=s)
     rows, lat = [], []
     for t in range(n):
         frame = np.asarray(data.frames[t])
@@ -638,6 +657,12 @@ def main(argv=None) -> int:
         "--flow-checkpoint", default=None,
         help="FlowNet2 torch checkpoint for --live-flow "
         "(random-init with a warning when absent)",
+    )
+    p.add_argument(
+        "--camera-scenes", default=None,
+        help="fleet mode: comma-separated per-camera scene rows "
+        "(len --cameras, or one value for all; default: the first test "
+        "video's scene) — each camera scores against its scene's blocks",
     )
     p.add_argument(
         "--motion", action="store_true",
