@@ -91,6 +91,139 @@ def pallas_correlation_check() -> dict:
     return out
 
 
+def _analytic_flops() -> dict:
+    """XLA's own FLOP counts for the benched programs, computed in a CPU
+    child process. The axon plugin's Lowered.cost_analysis() returns None
+    in-process (even for cpu lowering_platforms), so the counting runs
+    where it works: a subprocess forced onto the CPU backend, lowering
+    with abstract (eval_shape) arguments — no compile, no device, ~20 s.
+    Returns {} on any failure (MFU fields then report -1.0)."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    code = r"""
+import json
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from vec_vad_tpu.config import CompletionConfig
+from vec_vad_tpu.models.completion import make_completion_net
+from vec_vad_tpu.models.flownet import FlowNet2
+
+def flops(fn, *args):
+    return float(jax.jit(fn).lower(*args).cost_analysis()["flops"])
+
+out = {}
+# completion-ensemble forward, batch 128 (the inference/training unit)
+mc = CompletionConfig(nf=32, context_of_num=0, use_flow=False)
+net = make_completion_net(mc)
+P, bb = 32, 128
+x = jax.ShapeDtypeStruct((bb, P, P, mc.tot_raw_num * 3), jnp.float32)
+of = jax.ShapeDtypeStruct((bb, P, P, mc.tot_of_num * 2), jnp.float32)
+v = jax.eval_shape(
+    lambda k, x, of: net.init(k, x, of, False), jax.random.key(0), x, of
+)
+out["completion_fwd_b128"] = flops(
+    lambda v, x, of: net.apply(v, x, of, False).raw_out, v, x, of
+)
+# FlowNet2 forward, batch 4 at 192x256 (jnp correlation so the cost
+# model sees the einsum; the Pallas kernel is an opaque custom call)
+fnet = FlowNet2(use_pallas_correlation=False)
+fx = jax.ShapeDtypeStruct((4, 2, 192, 256, 3), jnp.float32)
+fv = jax.eval_shape(lambda k, fx: fnet.init(k, fx), jax.random.key(0), fx)
+out["flownet2_fwd_b4_192x256"] = flops(
+    lambda v, x: jnp.sum(fnet.apply(v, x)), fv, fx
+)
+print(json.dumps(out))
+"""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, cwd=here,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            timeout=300,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {}
+
+
+# v5e MXU peak (bf16 multiply, f32 accumulate): 197 TFLOP/s/chip. The
+# benched stages run f32 compute, which lowers through the same MXU
+# passes — MFU is reported against the bf16 peak (the standard convention
+# when no separate f32 peak is published for the part).
+CHIP_PEAK_TFLOPS = 197.0
+
+
+def _mfu(record: dict, tag: str, flops: float, seconds: float) -> None:
+    """Attach <tag>_tflops / <tag>_tflops_per_s / <tag>_mfu_pct."""
+    if flops <= 0 or seconds <= 0:
+        record[f"{tag}_mfu_pct"] = -1.0
+        return
+    record[f"{tag}_tflops"] = round(flops / 1e12, 3)
+    tps = flops / seconds / 1e12
+    record[f"{tag}_tflops_per_s"] = round(tps, 2)
+    record[f"{tag}_mfu_pct"] = round(100.0 * tps / CHIP_PEAK_TFLOPS, 2)
+
+
+def flownet2_throughput_check(flops_tbl: dict) -> dict:
+    """End-to-end FlowNet2 forward throughput ON HARDWARE at a small
+    /64-divisible geometry (batch 4 at 192x256 — bounded compile; the
+    persistent executable cache makes repeat rounds free). Pins the whole
+    L0+L1 flow stack (correlation/warp/channelnorm + the 162.5M-param
+    composite) on the scoreboard as maps/s so regressions are visible —
+    round-3 flow numbers lived only in prose. Protocol mirrors
+    calc_optical_flow.py:25-85's forward (no IO); K queued executions,
+    one 8-byte download (the correlation check's timing discipline).
+    FLOPs from the jnp-correlation lowering (the Pallas kernel is a
+    custom call XLA counts as 0; the timed run uses the production
+    default — Pallas on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.models.flownet import FlowNet2
+
+    B, h, w = 4, 192, 256
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 255, (B, 2, h, w, 3)).astype(np.float32))
+
+    out = {}
+    try:
+        net = FlowNet2()
+        # zero-init params ON DEVICE via eval_shape (no 650 MB upload, no
+        # giant init program — FLOP count and timing don't depend on
+        # weight values)
+        shapes = jax.eval_shape(
+            lambda k: net.init(k, x[:1]), jax.random.key(0)
+        )
+        variables = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+        fwd = jax.jit(lambda v, xx: jnp.sum(net.apply(v, xx)))
+        float(fwd(variables, x))  # compile + warm
+        K = 8
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K - 1):
+                fwd(variables, x)
+            float(fwd(variables, x))  # in-order stream: forces all K
+            best = min(best, (time.perf_counter() - t0) / K)
+        out["flow_maps_per_s"] = round(B / best, 1)
+        _mfu(
+            out, "flow_fwd",
+            flops_tbl.get("flownet2_fwd_b4_192x256", -1.0), best,
+        )
+    except Exception as e:
+        out["flow_maps_per_s"] = -1.0
+        out["flow_error"] = repr(e)[:200]
+    return out
+
+
 def _require_backend(timeout_s: float = 240.0):
     """Bounded backend init. The remote relay has been observed to go
     UNAVAILABLE for hours, during which jax.devices() HANGS ~25 min
@@ -216,7 +349,21 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / 25.0, 2),
     }
+
+    # -- MFU accounting (analytic FLOPs / chip peak) ----------------------
+    # The scoring pass's FLOPs are dominated by the completion-ensemble
+    # forward over every valid cube (the extraction interpolation matmuls
+    # are ~1% of it); XLA's own HLO cost analysis counts the lowered
+    # forward, scaled to the split's cube count.
+    n_cubes = int(valid.sum())
+    flops_tbl = _analytic_flops()
+    fwd_flops_b = flops_tbl.get("completion_fwd_b128", -1.0)
+    per_cube_fwd = fwd_flops_b / 128.0 if fwd_flops_b > 0 else -1.0
+    record["inference_cubes"] = n_cubes
+    _mfu(record, "inference", per_cube_fwd * n_cubes, dt)
+
     record.update(pallas_correlation_check())
+    record.update(flownet2_throughput_check(flops_tbl))
 
     # Online serving: StreamingScorer's one-device-call-per-frame step on
     # the same model/geometry (25 fps real-time needs <40 ms sustained).
@@ -326,17 +473,17 @@ def main() -> None:
     from vec_vad_tpu.parallel.mesh import get_mesh
     from vec_vad_tpu.train.trainer import BlockTrainer
 
-    n_cubes = 2048
+    n_cubes_blk = 2048
     # HBM-resident cubes, like the real pipeline (extract_cube_set_resident
     # feeds the trainer without cubes ever leaving the device) — timing the
     # 25 MB upload instead would measure tunnel mood (5-40 MB/s swings),
     # not training
     raw = jax.device_put(rng.integers(
-        0, 256, (n_cubes, P, P, cfg.model.tot_raw_num * 3), dtype=np.uint8
+        0, 256, (n_cubes_blk, P, P, cfg.model.tot_raw_num * 3), dtype=np.uint8
     ))
     np.asarray(raw[0, 0, 0, 0])  # force the upload out of the timed region
     trainer = BlockTrainer(net, cfg.model, get_mesh(), patch_size=P)
-    steps = cfg.model.epochs * (-(-n_cubes // cfg.model.batch_size))
+    steps = cfg.model.epochs * (-(-n_cubes_blk // cfg.model.batch_size))
     trainer.fit_block(raw, None)  # compile + warm
     t0 = time.perf_counter()
     blk = trainer.fit_block(raw, None)
@@ -344,6 +491,16 @@ def main() -> None:
     assert np.isfinite(blk.raw_scores).all()
     record["train_fit_block_s"] = round(dt, 2)
     record["train_steps_per_s"] = round(steps / dt, 1)
+    # train MFU: fwd + bwd ~= 3x the forward FLOPs (the standard 1:2
+    # fwd:bwd accounting; Adam/BN elementwise work is noise next to the
+    # convs), over steps x batch cubes (the trainer pads each epoch
+    # cyclically to a batch multiple), plus the score pass (1x fwd over
+    # the block's cubes).
+    train_flops = (
+        3.0 * per_cube_fwd * steps * cfg.model.batch_size
+        + per_cube_fwd * n_cubes_blk
+    )
+    _mfu(record, "train", train_flops, dt)
     print(json.dumps(record))
 
 
