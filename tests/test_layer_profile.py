@@ -1,0 +1,51 @@
+"""runtime.layer_profile: the scan+perturb timing protocol (CPU smoke).
+
+The numbers only mean something on hardware; here we verify the protocol
+machinery — scan compiles, the perturbation picks the smallest arg, the
+table/formatter round-trip — so the hardware tool can't bit-rot.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vec_vad_tpu.runtime.layer_profile import (
+    UNET_CONV_SHAPES,
+    format_table,
+    profile_unet_convs,
+    timed_scan,
+)
+
+
+def test_timed_scan_basic():
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(64, 64)), jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).normal(size=(64, 64)), jnp.float32)
+    ms, tps = timed_scan(jnp.dot, (a, b), 2.0 * 64**3, iters=5, repeats=1)
+    assert ms > 0 and tps > 0
+
+
+def test_timed_scan_perturbs_smallest_arg():
+    # scalar-ish second arg is smaller: perturbing it must not change dtype
+    x = jnp.ones((32, 32), jnp.bfloat16)
+    w = jnp.ones((4,), jnp.bfloat16)
+    ms, _ = timed_scan(lambda x, w: x * w[0], (x, w), 0.0, iters=3, repeats=1)
+    assert ms > 0
+
+
+def test_profile_table_and_formatter():
+    shapes = [("tiny", 4, 3, 8)]
+    table = profile_unet_convs(
+        batch=2, dtypes=(jnp.float32,), iters=2, shapes=shapes
+    )
+    assert set(table) == {"tiny"}
+    ms, tps = table["tiny"]["float32"]
+    assert ms > 0 and tps >= 0  # tiny-shape TF/s rounds to 0 on CPU
+    txt = format_table(table)
+    assert "tiny" in txt and "float32 ms" in txt
+
+
+def test_standard_shape_list_matches_unet():
+    # depth-4 UNet: 2 convs per DoubleConv x (1 inc + 3 down + 3 up)
+    assert len(UNET_CONV_SHAPES) == 14
+    # channel progression f..8f and symmetric decoder
+    assert UNET_CONV_SHAPES[0][1:] == (32, 12, 32)
+    assert UNET_CONV_SHAPES[7][1:] == (4, 256, 256)

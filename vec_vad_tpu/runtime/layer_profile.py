@@ -1,0 +1,168 @@
+"""Device-resident micro-profiling for the completion-ensemble convs.
+
+The reference ships no per-layer profiling (its hot loop is timed only by
+epoch prints, train.py:375-402). On this TPU setup, naive per-op timing is
+impossible: the relay adds ~25 ms per materialized call and async dispatch
+returns instantly, so anything short of a fused multi-iteration device
+program measures the tunnel, not the op.
+
+Protocol (validated in round 4 experiments):
+  * the op runs ITERS times inside one jitted `lax.scan`, so iteration
+    cost is pure device time (one dispatch + one 4-byte download total);
+  * loop-invariant hoisting is defeated by perturbing the SMALLEST
+    argument with `carry * 1e-38` (an exact no-op in f32/bf16 arithmetic
+    — adding 1e-38 to O(1) values rounds away — but a data dependence XLA
+    must respect). Perturbing a big activation instead adds a full
+    HBM copy per iteration and flattens every measurement to the copy
+    cost (~0.5 ms for a 67 MB buffer): that failure mode is why this
+    helper exists.
+
+Use `profile_unet_convs()` for the standard per-shape table on the
+flagship UNet geometry, or `timed_scan()` for ad-hoc programs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_scan(
+    f: Callable,
+    args: Sequence,
+    flops_once: float,
+    iters: int = 100,
+    perturb: int = -1,
+    repeats: int = 3,
+) -> Tuple[float, float]:
+    """Time `f(*args)` on-device: returns (ms_per_iter, tflops_per_s).
+
+    perturb: index of the argument to carry-perturb; -1 picks the
+    smallest-by-bytes argument automatically (perturbation cost must be
+    negligible next to the op being measured).
+    """
+    sizes = [np.prod(np.shape(a)) for a in args]
+    pi = int(np.argmin(sizes)) if perturb < 0 else perturb
+
+    def body(acc, _):
+        pert = list(args)
+        pert[pi] = args[pi] + (acc * 1e-38).astype(args[pi].dtype)
+        y = f(*pert)
+        return acc + jnp.ravel(y)[0].astype(jnp.float32), None
+
+    @jax.jit
+    def run():
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return acc
+
+    float(run())  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = run()
+        float(v)  # forcing the scalar bounds all iters (in-order stream)
+        best = min(best, time.perf_counter() - t0)
+    per = best / iters
+    tps = (flops_once / per / 1e12) if flops_once > 0 else 0.0
+    return per * 1e3, tps
+
+
+# (name, H==W, Cin, Cout): every distinct 3x3-conv shape in the depth-4
+# completion UNet at features_root=32, patch 32 (models/layers.py UNet;
+# reference model/unet.py:73-267). Cin=12 is the erased 4-frame raw input.
+UNET_CONV_SHAPES: List[Tuple[str, int, int, int]] = [
+    ("inc_a", 32, 12, 32),
+    ("inc_b", 32, 32, 32),
+    ("down1_a", 16, 32, 64),
+    ("down1_b", 16, 64, 64),
+    ("down2_a", 8, 64, 128),
+    ("down2_b", 8, 128, 128),
+    ("down3_a", 4, 128, 256),
+    ("down3_b", 4, 256, 256),
+    ("up1_a", 8, 256, 128),
+    ("up1_b", 8, 128, 128),
+    ("up2_a", 16, 128, 64),
+    ("up2_b", 16, 64, 64),
+    ("up3_a", 32, 64, 32),
+    ("up3_b", 32, 32, 32),
+]
+
+
+def _conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def profile_unet_convs(
+    batch: int = 512,
+    dtypes: Sequence = (jnp.float32, jnp.bfloat16),
+    iters: int = 100,
+    shapes: Optional[List[Tuple[str, int, int, int]]] = None,
+    seed: int = 0,
+) -> Dict[str, Dict[str, Tuple[float, float]]]:
+    """Per-conv-shape timing table for the flagship UNet.
+
+    batch: effective conv batch. The production ensemble folds E members
+    into grouped channels at batch B (training B=128, E=4 -> pass 512 for
+    the equivalent dense-batch shape; inference cube_batch=2048 -> 8192).
+
+    Returns {shape_name: {dtype_name: (ms_per_iter, tflops_per_s)}}.
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict[str, Dict[str, Tuple[float, float]]] = {}
+    for name, H, cin, cout in shapes or UNET_CONV_SHAPES:
+        x = rng.normal(size=(batch, H, H, cin)).astype(np.float32)
+        w = (rng.normal(size=(3, 3, cin, cout)) * 0.05).astype(np.float32)
+        fl = 2.0 * batch * H * H * 9 * cin * cout
+        row: Dict[str, Tuple[float, float]] = {}
+        for dt in dtypes:
+            ms, tps = timed_scan(
+                _conv,
+                (jnp.asarray(x, dt), jnp.asarray(w, dt)),
+                fl,
+                iters=iters,
+            )
+            row[jnp.dtype(dt).name] = (round(ms, 4), round(tps, 1))
+        out[name] = row
+    return out
+
+
+def format_table(
+    table: Dict[str, Dict[str, Tuple[float, float]]],
+) -> str:
+    dts = list(next(iter(table.values())).keys())
+    hdr = "shape".ljust(10) + "".join(
+        f"{d + ' ms':>14}{d + ' TF/s':>14}" for d in dts
+    )
+    lines = [hdr]
+    for name, row in table.items():
+        line = name.ljust(10)
+        for d in dts:
+            ms, tps = row[d]
+            line += f"{ms:>14.4f}{tps:>14.1f}"
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def main() -> None:  # pragma: no cover - hardware entry point
+    import argparse
+
+    from vec_vad_tpu.runtime import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=100)
+    args = ap.parse_args()
+    table = profile_unet_convs(batch=args.batch, iters=args.iters)
+    print(format_table(table))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
