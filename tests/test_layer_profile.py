@@ -11,6 +11,7 @@ import numpy as np
 from vec_vad_tpu.runtime.layer_profile import (
     UNET_CONV_SHAPES,
     format_table,
+    profile_ensemble_formulations,
     profile_unet_convs,
     timed_scan,
 )
@@ -41,6 +42,12 @@ def test_profile_table_and_formatter():
     assert ms > 0 and tps >= 0  # tiny-shape TF/s rounds to 0 on CPU
     txt = format_table(table)
     assert "tiny" in txt and "float32 ms" in txt
+
+
+def test_ensemble_formulations_smoke():
+    out = profile_ensemble_formulations(batch=2, members=2, H=4, C=8, iters=2)
+    assert set(out) == {"vmap", "grouped", "blockdiag", "sharedw_batch"}
+    assert all(ms > 0 for ms, _ in out.values())
 
 
 def test_standard_shape_list_matches_unet():

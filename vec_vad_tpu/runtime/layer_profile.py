@@ -133,6 +133,75 @@ def profile_unet_convs(
     return out
 
 
+def profile_ensemble_formulations(
+    batch: int = 128,
+    members: int = 4,
+    H: int = 32,
+    C: int = 32,
+    iters: int = 100,
+    seed: int = 0,
+) -> Dict[str, Tuple[float, float]]:
+    """Compare layouts for 'E independent convs with E weight sets'.
+
+    The completion ensemble (models/completion.py, reference
+    model/models.py:13-64 "model_set of independent UNets") is one UNet
+    nn.vmap'ed over stacked params. On TPU the same math admits several
+    layouts; this measures each at one representative conv shape:
+
+      vmap          — jax.vmap(conv) over the member axis (production).
+      grouped       — members folded into channels, feature_group_count=E.
+      blockdiag     — members folded into channels, one dense conv with a
+                      block-diagonal (E*C, E*C) kernel: E^2/E more FLOPs
+                      but a single large MXU contraction.
+      sharedw_batch — members folded into BATCH with one shared weight:
+                      not the same math (lower bound — what a weight-shared
+                      layout would cost).
+
+    Returns {layout: (ms_per_iter, tflops_per_s)} with TFLOP/s computed
+    against the USEFUL flops (vmap count) so layouts are comparable.
+    """
+    rng = np.random.default_rng(seed)
+    E = members
+    x_e = jnp.asarray(
+        rng.normal(size=(E, batch, H, H, C)).astype(np.float32)
+    )
+    w_e = jnp.asarray(
+        (rng.normal(size=(E, 3, 3, C, C)) * 0.05).astype(np.float32)
+    )
+    fl = 2.0 * E * batch * H * H * 9 * C * C
+    out: Dict[str, Tuple[float, float]] = {}
+
+    out["vmap"] = timed_scan(
+        lambda x, w: jax.vmap(_conv)(x, w), (x_e, w_e), fl, iters=iters
+    )
+
+    x_g = jnp.moveaxis(x_e, 0, -2).reshape(batch, H, H, E * C)
+    w_g = jnp.concatenate([w_e[i] for i in range(E)], axis=-1)
+
+    def grouped(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=E,
+        )
+
+    out["grouped"] = timed_scan(grouped, (x_g, w_g), fl, iters=iters)
+
+    wb = np.zeros((3, 3, E * C, E * C), np.float32)
+    we = np.asarray(w_e)
+    for i in range(E):
+        wb[:, :, i * C : (i + 1) * C, i * C : (i + 1) * C] = we[i]
+    out["blockdiag"] = timed_scan(
+        _conv, (x_g, jnp.asarray(wb)), fl, iters=iters
+    )
+
+    x_b = x_e.reshape(E * batch, H, H, C)
+    out["sharedw_batch"] = timed_scan(
+        _conv, (x_b, w_e[0]), fl, iters=iters
+    )
+    return {k: (round(ms, 4), round(tps, 1)) for k, (ms, tps) in out.items()}
+
+
 def format_table(
     table: Dict[str, Dict[str, Tuple[float, float]]],
 ) -> str:
@@ -159,9 +228,19 @@ def main() -> None:  # pragma: no cover - hardware entry point
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument(
+        "--ensemble", action="store_true",
+        help="run the ensemble-formulation comparison instead",
+    )
     args = ap.parse_args()
-    table = profile_unet_convs(batch=args.batch, iters=args.iters)
-    print(format_table(table))
+    if args.ensemble:
+        for k, v in profile_ensemble_formulations(
+            batch=args.batch, iters=args.iters
+        ).items():
+            print(f"{k:>14}: {v[0]:.4f} ms  {v[1]:.1f} TF/s")
+    else:
+        table = profile_unet_convs(batch=args.batch, iters=args.iters)
+        print(format_table(table))
 
 
 if __name__ == "__main__":  # pragma: no cover
