@@ -11,6 +11,7 @@ import numpy as np
 from vec_vad_tpu.runtime.layer_profile import (
     UNET_CONV_SHAPES,
     format_table,
+    profile_completion_program,
     profile_ensemble_formulations,
     profile_unet_convs,
     timed_scan,
@@ -48,6 +49,16 @@ def test_ensemble_formulations_smoke():
     out = profile_ensemble_formulations(batch=2, members=2, H=4, C=8, iters=2)
     assert set(out) == {"vmap", "grouped", "blockdiag", "sharedw_batch"}
     assert all(ms > 0 for ms, _ in out.values())
+
+
+def test_completion_program_probe_smoke():
+    # whole-program probe compiles and times the real net (tiny batch)
+    out = profile_completion_program(
+        batches=(2,), dtypes=(jnp.float32,), mode="fwdbwd", iters=2
+    )
+    assert set(out) == {"fwdbwd_b2_float32"}
+    ms, tps = out["fwdbwd_b2_float32"]
+    assert ms > 0 and tps >= 0
 
 
 def test_standard_shape_list_matches_unet():

@@ -202,6 +202,105 @@ def profile_ensemble_formulations(
     return {k: (round(ms, 4), round(tps, 1)) for k, (ms, tps) in out.items()}
 
 
+#: Analytic forward FLOPs per cube for the flagship completion ensemble
+#: (nf=32, E=4 members, patch 32) — XLA cost analysis, see bench.py's
+#: CPU-subprocess accounting. fwd+bwd is accounted as 3x fwd (standard
+#: dgrad+wgrad convention).
+FLAGSHIP_PER_CUBE_FWD_FLOPS = 1.378e9
+
+
+def profile_completion_program(
+    batches: Sequence[int] = (128, 1024),
+    dtypes: Sequence = (jnp.float32, jnp.bfloat16),
+    mode: str = "fwdbwd",
+    iters: int = 20,
+    per_cube_flops: float = FLAGSHIP_PER_CUBE_FWD_FLOPS,
+    seed: int = 0,
+) -> Dict[str, Tuple[float, float]]:
+    """Whole-program probes on the production completion ensemble.
+
+    Times the real `make_completion_net` forward (mode="fwd": the scoring
+    math, per-member sum-squared error) or a train-style grad-of-MSE
+    (mode="fwdbwd") under the scan+perturb protocol, with the params cast
+    to each compute dtype exactly like BlockTrainer's compute_dtype path
+    (train/trainer.py). Loop hoisting is defeated by perturbing the first
+    param leaf with the carry.
+
+    Round-4 hardware results (v5e via axon, flagship nf=32/E=4 geometry):
+    fwd b2048 85.2 (f32) / 89.6 (bf16) TF/s; fwd+bwd b128 97.8 / 110.6,
+    b1024 71.0 / 118.1 TF/s — i.e. ~36-60% MFU of the 197 TF/s bf16 peak
+    and a 1.66x bf16-over-f32 speedup at b1024, refuting the round-1
+    "~30 TF/s, bf16 useless" reading (that number measured per-call
+    dispatch, not the device). Training-scale steps remain dispatch/
+    dependency-bound: see profile_ensemble_formulations (all layouts
+    ~0.24 ms/iter at E=4 B=128).
+
+    Returns {f"{mode}_b{B}_{dtype}": (ms_per_iter, tflops_per_s)}.
+    """
+    from vec_vad_tpu.config import CompletionConfig
+    from vec_vad_tpu.models.completion import make_completion_net
+
+    rng = np.random.default_rng(seed)
+    mc = CompletionConfig(nf=32, context_of_num=0, use_flow=False)
+    net = make_completion_net(mc)
+    P = 32
+    x0 = np.zeros((1, P, P, mc.tot_raw_num * 3), np.float32)
+    of0 = np.zeros((1, P, P, mc.tot_of_num * 2), np.float32)
+    variables = net.init(jax.random.key(0), x0, of0, False)
+
+    def perturbed(v, acc):
+        leaves, tree = jax.tree.flatten(v)
+        leaves = [leaves[0] + (acc * 1e-38).astype(leaves[0].dtype)] + leaves[1:]
+        return jax.tree.unflatten(tree, leaves)
+
+    results: Dict[str, Tuple[float, float]] = {}
+    for B in batches:
+        x = jnp.asarray(
+            rng.uniform(0, 1, (B, P, P, mc.tot_raw_num * 3)).astype(np.float32)
+        )
+        of = jnp.zeros((B, P, P, mc.tot_of_num * 2), jnp.float32)
+        for dt in dtypes:
+
+            def fwd(v):
+                vc = jax.tree.map(lambda p: p.astype(dt), v)
+                out = net.apply(vc, x.astype(dt), of.astype(dt), False)
+                err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+                return jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))[0]
+
+            def loss(v):
+                vc = jax.tree.map(lambda p: p.astype(dt), v)
+                out = net.apply(vc, x.astype(dt), of.astype(dt), False)
+                err = (out.raw_out - jax.lax.stop_gradient(out.raw_tgt))
+                return jnp.mean(jnp.square(err.astype(jnp.float32)))
+
+            if mode == "fwd":
+                def body(acc, _):
+                    return acc + fwd(perturbed(variables, acc)), None
+                fl = per_cube_flops * B
+            else:
+                def body(acc, _):
+                    g = jax.grad(loss)(perturbed(variables, acc))
+                    return acc + jax.tree.leaves(g)[0].ravel()[0], None
+                fl = 3.0 * per_cube_flops * B
+
+            @jax.jit
+            def run():
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+                return acc
+
+            float(run())
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v = run()
+                float(v)
+                best = min(best, time.perf_counter() - t0)
+            per = best / iters
+            key = f"{mode}_b{B}_{jnp.dtype(dt).name}"
+            results[key] = (round(per * 1e3, 3), round(fl / per / 1e12, 1))
+    return results
+
+
 def format_table(
     table: Dict[str, Dict[str, Tuple[float, float]]],
 ) -> str:
@@ -232,8 +331,18 @@ def main() -> None:  # pragma: no cover - hardware entry point
         "--ensemble", action="store_true",
         help="run the ensemble-formulation comparison instead",
     )
+    ap.add_argument(
+        "--program", choices=("fwd", "fwdbwd"), default=None,
+        help="run the whole-completion-program probe instead",
+    )
     args = ap.parse_args()
-    if args.ensemble:
+    if args.program:
+        res = profile_completion_program(
+            batches=(args.batch,), mode=args.program, iters=args.iters
+        )
+        for k, (ms, tps) in res.items():
+            print(f"{k:>24}: {ms:.3f} ms  {tps:.1f} TF/s")
+    elif args.ensemble:
         for k, v in profile_ensemble_formulations(
             batch=args.batch, iters=args.iters
         ).items():
