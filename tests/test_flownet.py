@@ -305,3 +305,40 @@ def test_flownet2_composite_shapes():
         + REF_PARAM_COUNTS["Fusion"]
     )
     assert n_params == expect, (n_params, expect)
+
+
+def test_flownet2_composite_bf16_traces_and_matches():
+    """Regression: the composite glue (warp_bilinear between stages) used
+    to promote bf16 activations to f32, so a bf16-cast FlowNet2/CS/CSS —
+    the serving flow_compute_dtype=bfloat16 recipe (serve/live_flow.py)
+    — crashed at trace time inside flownets_1's first conv. warp is now
+    dtype-preserving (f32 coordinate math, result cast back)."""
+    net = FlowNet2(use_pallas_correlation=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 2, 64, 64, 3)).astype(np.float32))
+    v = net.init(jax.random.key(0), x)
+    yf = net.apply(v, x)
+    vb = jax.tree.map(lambda l: l.astype(jnp.bfloat16), v)
+    yb = net.apply(vb, x.astype(jnp.bfloat16))
+    assert yb.dtype == jnp.bfloat16 and yb.shape == yf.shape
+    rel = float(
+        jnp.max(jnp.abs(yb.astype(jnp.float32) - yf))
+        / (jnp.max(jnp.abs(yf)) + 1e-9)
+    )
+    assert rel < 0.05, rel  # bf16 quantization, not a formulation change
+
+
+def test_warp_bilinear_dtype_preserving():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    flow = rng.uniform(-2, 2, (2, 8, 8, 2)).astype(np.float32)
+    out_f32 = warp_bilinear(jnp.asarray(img), jnp.asarray(flow))
+    assert out_f32.dtype == jnp.float32
+    out_bf = warp_bilinear(
+        jnp.asarray(img, jnp.bfloat16), jnp.asarray(flow, jnp.bfloat16)
+    )
+    assert out_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_bf, np.float32), np.asarray(out_f32),
+        rtol=0, atol=0.02,
+    )

@@ -363,12 +363,19 @@ def warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     order like the reference (Resample2d_kernel.cu:43-44). Corner indices
     clamp to the frame while the blending weights keep the unclamped
     fractional parts — the CUDA kernel's exact convention (:50-62).
+
+    Dtype-preserving: coordinates and blend weights are computed in f32
+    (the CUDA kernel's own arithmetic dtype — bf16 can't even represent
+    pixel indices past 256 exactly) and the result is cast back to
+    img.dtype, so bf16 composites (FlowNet2/CS/CSS glue stages,
+    flownet2.py) trace without f32 promotion. All-f32 inputs are
+    bit-identical to the pre-cast formulation.
     """
     B, H, W, C = img.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
     xs = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
-    xf = xs + flow[..., 0]
-    yf = ys + flow[..., 1]
+    xf = xs + flow[..., 0].astype(jnp.float32)
+    yf = ys + flow[..., 1].astype(jnp.float32)
     x0 = jnp.floor(xf)
     y0 = jnp.floor(yf)
     alpha = (xf - x0)[..., None]
@@ -383,12 +390,13 @@ def warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     def gather(yy, xx):
         return img[bidx, yy, xx]  # (B, H, W, C)
 
-    return (
-        (1 - alpha) * (1 - beta) * gather(yt, xl)
-        + alpha * (1 - beta) * gather(yt, xr)
-        + (1 - alpha) * beta * gather(yb, xl)
-        + alpha * beta * gather(yb, xr)
+    out = (
+        (1 - alpha) * (1 - beta) * gather(yt, xl).astype(jnp.float32)
+        + alpha * (1 - beta) * gather(yt, xr).astype(jnp.float32)
+        + (1 - alpha) * beta * gather(yb, xl).astype(jnp.float32)
+        + alpha * beta * gather(yb, xr).astype(jnp.float32)
     )
+    return out.astype(img.dtype)
 
 
 # ---------------------------------------------------------------------------
