@@ -117,6 +117,34 @@ def _stream(scorer, frames, boxes, video_lengths):
     return np.asarray(out, np.float32)
 
 
+def test_live_flow_bf16_compute_dtype():
+    """flow_compute_dtype=bfloat16 streams finite scores close to f32.
+
+    Regression for the bf16 flow path: composites crashed at trace time
+    until warp_bilinear became dtype-preserving (test_flownet.py covers
+    the composite trace); this covers the serving wiring — weights cast
+    once, activations per call, flow returned to f32 before scoring."""
+    ds, cfg, model, fnet, fvars = _train_two_stream(31, 0)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+    s32 = _stream(
+        FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars,
+            flow_model_hw=FLOW_HW,
+        ),
+        ds.test_frames, ds.test_boxes, te_idx.video_lengths,
+    )
+    s16 = _stream(
+        FlowStreamingScorer.from_model(
+            model, flow_net=fnet, flow_variables=fvars,
+            flow_model_hw=FLOW_HW, flow_compute_dtype=jnp.bfloat16,
+        ),
+        ds.test_frames, ds.test_boxes, te_idx.video_lengths,
+    )
+    assert s16.shape == s32.shape
+    assert np.all(np.isfinite(s16))
+    np.testing.assert_allclose(s16, s32, rtol=0.1, atol=0.05)
+
+
 @pytest.mark.parametrize("context_of_num", [0, 4])
 def test_live_flow_matches_offline(context_of_num):
     """Streamed scores with ON-DEVICE flow == offline scores with the

@@ -335,7 +335,8 @@ def cmd_import_torch(args) -> int:
         args.base, cfg.data_root_dir, cfg.modality,
         f"{cfg.dataset_name}_model_{cfg.fore.extraction_mode}_{cfg.method}.npz",
     )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.dirname(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     save_vad_model(out, model)
     print(f"imported {len(model.blocks)} block(s) -> {out}")
     return 0
@@ -497,8 +498,6 @@ def cmd_flow_infer(args) -> int:
     Weights come from --checkpoint (torch .pth) or from --workdir
     (a flow-train run's model_best/checkpoint msgpack); like the
     reference, inference without weights refuses to run."""
-    import numpy as np
-
     from vec_vad_tpu.flow.datasets import (
         ChairsSDHom,
         FlyingChairs,

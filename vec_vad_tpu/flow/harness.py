@@ -55,10 +55,13 @@ class FlowHarness:
         """loss: 'multiscale' | 'single' — defaults to the trainer's mode
         so validation scores the same objective training optimizes."""
         self.trainer = trainer
-        self.workdir = workdir
-        os.makedirs(workdir, exist_ok=True)
+        self.workdir = workdir  # created lazily on first checkpoint write
         net = trainer.net
         loss = loss or getattr(trainer, "loss_mode", "multiscale")
+        if loss not in ("multiscale", "single"):
+            raise ValueError(
+                f"loss must be 'multiscale' or 'single', got {loss!r}"
+            )
 
         if loss == "multiscale":
             def eval_step(params, pairs, target):
@@ -97,6 +100,7 @@ class FlowHarness:
     ) -> None:
         """checkpoint.msgpack + meta.json each epoch; model_best on
         improvement (tools.save_checkpoint semantics, main.py:636-644)."""
+        os.makedirs(self.workdir, exist_ok=True)
         blob = serialization.to_bytes(jax.device_get(state))
         path = os.path.join(self.workdir, self.CKPT)
         with open(path, "wb") as f:
@@ -155,6 +159,11 @@ class FlowHarness:
         set, and reports the loss statistics). Datasets without ground
         truth load all-zero targets there, making 'EPE' the mean flow
         norm — same here. Returns {'epe': float, 'n': int, 'flows': dir}.
+
+        A short final batch is padded (last sample repeated) to
+        batch_size and the predictions sliced back, so the jitted
+        forward compiles ONCE — a second tail-shape compile of a 162M-
+        param composite costs minutes on this backend.
         """
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
@@ -165,9 +174,14 @@ class FlowHarness:
         ):
             if n_batches >= 0 and bi >= n_batches:
                 break
+            b = pairs.shape[0]
+            if b < batch_size:
+                pairs = np.concatenate(
+                    [pairs, np.repeat(pairs[-1:], batch_size - b, axis=0)]
+                )
             flow = np.asarray(
                 self._infer_step(params, jnp.asarray(pairs))
-            )
+            )[:b]
             per = np.sqrt(
                 np.sum((flow - target) ** 2, axis=-1)
             ).mean(axis=(1, 2))

@@ -31,6 +31,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _time_scalar_fn(run, args, flops_once, iters, repeats):
+    """Shared timing discipline: one compile+warm call, then best-of-
+    `repeats` wall times of `run(*args)` forced via a 4-byte scalar
+    download (in-order stream bounds all iters). Returns (ms/iter, TF/s)."""
+    float(run(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = run(*args)
+        float(v)
+        best = min(best, time.perf_counter() - t0)
+    per = best / iters
+    tps = (flops_once / per / 1e12) if flops_once > 0 else 0.0
+    return per * 1e3, tps
+
+
 def timed_scan(
     f: Callable,
     args: Sequence,
@@ -44,31 +60,27 @@ def timed_scan(
     perturb: index of the argument to carry-perturb; -1 picks the
     smallest-by-bytes argument automatically (perturbation cost must be
     negligible next to the op being measured).
+
+    args are passed to the jitted program as EXPLICIT arguments — a
+    closure-captured device buffer serializes into the program body, and
+    this backend's remote-compile endpoint rejects bodies >~100s MB with
+    HTTP 413 (CLAUDE.md; a batch-8192 activation is ~400 MB).
     """
     sizes = [np.prod(np.shape(a)) for a in args]
     pi = int(np.argmin(sizes)) if perturb < 0 else perturb
 
-    def body(acc, _):
-        pert = list(args)
-        pert[pi] = args[pi] + (acc * 1e-38).astype(args[pi].dtype)
-        y = f(*pert)
-        return acc + jnp.ravel(y)[0].astype(jnp.float32), None
-
     @jax.jit
-    def run():
+    def run(*a):
+        def body(acc, _):
+            pert = list(a)
+            pert[pi] = a[pi] + (acc * 1e-38).astype(a[pi].dtype)
+            y = f(*pert)
+            return acc + jnp.ravel(y)[0].astype(jnp.float32), None
+
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return acc
 
-    float(run())  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        v = run()
-        float(v)  # forcing the scalar bounds all iters (in-order stream)
-        best = min(best, time.perf_counter() - t0)
-    per = best / iters
-    tps = (flops_once / per / 1e12) if flops_once > 0 else 0.0
-    return per * 1e3, tps
+    return _time_scalar_fn(run, tuple(args), flops_once, iters, repeats)
 
 
 # (name, H==W, Cin, Cout): every distinct 3x3-conv shape in the depth-4
@@ -260,44 +272,38 @@ def profile_completion_program(
         )
         of = jnp.zeros((B, P, P, mc.tot_of_num * 2), jnp.float32)
         for dt in dtypes:
+            fl = (per_cube_flops if mode == "fwd" else 3.0 * per_cube_flops) * B
 
-            def fwd(v):
-                vc = jax.tree.map(lambda p: p.astype(dt), v)
-                out = net.apply(vc, x.astype(dt), of.astype(dt), False)
-                err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
-                return jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))[0]
-
-            def loss(v):
-                vc = jax.tree.map(lambda p: p.astype(dt), v)
-                out = net.apply(vc, x.astype(dt), of.astype(dt), False)
-                err = (out.raw_out - jax.lax.stop_gradient(out.raw_tgt))
-                return jnp.mean(jnp.square(err.astype(jnp.float32)))
-
-            if mode == "fwd":
-                def body(acc, _):
-                    return acc + fwd(perturbed(variables, acc)), None
-                fl = per_cube_flops * B
-            else:
-                def body(acc, _):
-                    g = jax.grad(loss)(perturbed(variables, acc))
-                    return acc + jax.tree.leaves(g)[0].ravel()[0], None
-                fl = 3.0 * per_cube_flops * B
-
+            # variables/x/of as EXPLICIT jit args (closure-captured
+            # buffers serialize into the program body — HTTP 413 on the
+            # remote-compile relay past ~100s of MB, see timed_scan)
             @jax.jit
-            def run():
+            def run(v0, x0, of0):
+                def body(acc, _):
+                    v = perturbed(v0, acc)
+                    if mode == "fwd":
+                        return acc + fwd_v(v, x0, of0), None
+                    g = jax.grad(loss_v)(v, x0, of0)
+                    return acc + jax.tree.leaves(g)[0].ravel()[0], None
+
                 acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
                 return acc
 
-            float(run())
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                v = run()
-                float(v)
-                best = min(best, time.perf_counter() - t0)
-            per = best / iters
+            def fwd_v(v, x0, of0):
+                vc = jax.tree.map(lambda p: p.astype(dt), v)
+                out = net.apply(vc, x0.astype(dt), of0.astype(dt), False)
+                err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
+                return jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))[0]
+
+            def loss_v(v, x0, of0):
+                vc = jax.tree.map(lambda p: p.astype(dt), v)
+                out = net.apply(vc, x0.astype(dt), of0.astype(dt), False)
+                err = (out.raw_out - jax.lax.stop_gradient(out.raw_tgt))
+                return jnp.mean(jnp.square(err.astype(jnp.float32)))
+
+            ms, tps = _time_scalar_fn(run, (variables, x, of), fl, iters, 3)
             key = f"{mode}_b{B}_{jnp.dtype(dt).name}"
-            results[key] = (round(per * 1e3, 3), round(fl / per / 1e12, 1))
+            results[key] = (round(ms, 3), round(tps, 1))
     return results
 
 
