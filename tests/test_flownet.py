@@ -188,6 +188,78 @@ def test_warp_matches_cuda_semantics(rng):
     np.testing.assert_allclose(got, oracle, atol=1e-6)
 
 
+def _warp_oracle_cuda(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Literal CUDA-convention oracle (Resample2d_kernel.cu:43-62): corner
+    indices clamp to the frame, blend weights keep the UNCLAMPED
+    fractional parts."""
+    B, H, W, _ = img.shape
+    out = np.zeros_like(img)
+    for bi in range(B):
+        for y in range(H):
+            for x in range(W):
+                xf = x + flow[bi, y, x, 0]
+                yf = y + flow[bi, y, x, 1]
+                a = xf - np.floor(xf)
+                b = yf - np.floor(yf)
+                xl = int(np.clip(np.floor(xf), 0, W - 1))
+                xr = int(np.clip(np.floor(xf) + 1, 0, W - 1))
+                yt = int(np.clip(np.floor(yf), 0, H - 1))
+                yb = int(np.clip(np.floor(yf) + 1, 0, H - 1))
+                out[bi, y, x] = (
+                    (1 - a) * (1 - b) * img[bi, yt, xl]
+                    + a * (1 - b) * img[bi, yt, xr]
+                    + (1 - a) * b * img[bi, yb, xl]
+                    + a * b * img[bi, yb, xr]
+                )
+    return out
+
+
+def test_warp_extreme_out_of_range(rng):
+    """The packed-corner formulation pre-clamps sampling coordinates; the
+    CUDA kernel clamps only the corner indices. The two agree because an
+    out-of-range sample collapses both corners to the same edge texel,
+    making the blend weight irrelevant — lock that equivalence under flow
+    that throws most samples far outside a tiny frame (and at exact-edge
+    / negative-fraction coordinates)."""
+    img = rng.normal(size=(3, 6, 7, 5)).astype(np.float32)
+    flow = rng.normal(scale=50.0, size=(3, 6, 7, 2)).astype(np.float32)
+    # pepper in the tricky exact values: integer landings, -0.x, H/W-1+0.x
+    flow[0, 0, 0] = (-0.3, 0.0)
+    flow[0, 0, 1] = (6.0, 5.0)      # lands exactly on the far corner
+    flow[0, 1, 2] = (4.5, 4.5)      # last in-range texel pair
+    flow[1, 2, 3] = (1e6, -1e6)
+    got = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, _warp_oracle_cuda(img, flow), atol=1e-5)
+
+
+def test_warp_gradient_matches_numerical(rng):
+    """Autodiff through the packed-gather warp (take_along_axis VJP =
+    scatter-add) must match central finite differences w.r.t. both the
+    image and the flow, including a clamped (zero-gradient) sample."""
+    img = rng.normal(size=(1, 4, 5, 2)).astype(np.float32)
+    flow = rng.normal(scale=1.5, size=(1, 4, 5, 2)).astype(np.float32)
+    flow[0, 0, 0] = (30.0, 30.0)  # clamped: d(out)/d(flow) must be 0 here
+    w = rng.normal(size=img.shape).astype(np.float32)
+
+    def loss(i, f):
+        return jnp.vdot(warp_bilinear(i, f), jnp.asarray(w))
+
+    gi, gf = jax.grad(loss, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(flow))
+    eps = 1e-3
+    for arr, grad in ((img, np.asarray(gi)), (flow, np.asarray(gf))):
+        flat = arr.reshape(-1)
+        for k in rng.choice(flat.size, size=12, replace=False):
+            orig = flat[k]
+            flat[k] = orig + eps
+            up = float(loss(jnp.asarray(img), jnp.asarray(flow)))
+            flat[k] = orig - eps
+            dn = float(loss(jnp.asarray(img), jnp.asarray(flow)))
+            flat[k] = orig
+            num = (up - dn) / (2 * eps)
+            np.testing.assert_allclose(grad.reshape(-1)[k], num, atol=2e-2)
+    assert np.all(np.asarray(gf)[0, 0, 0] == 0.0)
+
+
 def test_upsample_parity_with_torch(rng):
     x = rng.normal(size=(1, 4, 5, 3)).astype(np.float32)
     xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
