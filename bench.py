@@ -176,12 +176,19 @@ def flownet2_throughput_check(flops_tbl: dict) -> dict:
     persistent executable cache makes repeat rounds free). Pins the whole
     L0+L1 flow stack (correlation/warp/channelnorm + the 162.5M-param
     composite) on the scoreboard as maps/s so regressions are visible —
-    round-3 flow numbers lived only in prose. Protocol mirrors
-    calc_optical_flow.py:25-85's forward (no IO); K queued executions,
-    one 8-byte download (the correlation check's timing discipline).
-    FLOPs from the jnp-correlation lowering (the Pallas kernel is a
-    custom call XLA counts as 0; the timed run uses the production
-    default — Pallas on TPU)."""
+    round-3 flow numbers lived only in prose. Timing protocol:
+    scan+perturb (runtime/layer_profile.py, PROFILE.md) — K iterations
+    inside ONE jitted lax.scan with params as EXPLICIT args, hoisting
+    defeated by carry-perturbing the first weight leaf, one 4-byte
+    download. Two traps this sidesteps, both measured: (a) K queued
+    eager calls marshal FlowNet2's ~230-leaf pytree per call and swing
+    with host load (26.4 ms/call under a competing test suite vs 25.7
+    in-scan); (b) CLOSURE-captured zero-init params bake 229/230 leaves
+    into the program as constants and XLA constant-folds part of the
+    net — a probe built that way reported 12.9 ms/map, 2x faster than
+    the device really runs. FLOPs from the jnp-correlation lowering
+    (the Pallas kernel is a custom call XLA counts as 0; the timed run
+    uses the production default — Pallas on TPU)."""
     import jax
     import jax.numpy as jnp
 
@@ -203,15 +210,29 @@ def flownet2_throughput_check(flops_tbl: dict) -> dict:
         variables = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes
         )
-        fwd = jax.jit(lambda v, xx: jnp.sum(net.apply(v, xx)))
-        float(fwd(variables, x))  # compile + warm
         K = 8
+
+        # explicit args, not closure captures: captured pytrees serialize
+        # into the program body (remote-compile 413 limit, CLAUDE.md)
+        @jax.jit
+        def run(v, xx):
+            def body(acc, _):
+                leaves, tree = jax.tree.flatten(v)
+                leaves = [
+                    leaves[0] + (acc * 1e-38).astype(leaves[0].dtype)
+                ] + leaves[1:]
+                vv = jax.tree.unflatten(tree, leaves)
+                y = net.apply(vv, xx)
+                return acc + jnp.sum(y).astype(jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return acc
+
+        float(run(variables, x))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(K - 1):
-                fwd(variables, x)
-            float(fwd(variables, x))  # in-order stream: forces all K
+            float(run(variables, x))
             best = min(best, (time.perf_counter() - t0) / K)
         out["flow_maps_per_s"] = round(B / best, 1)
         _mfu(
