@@ -239,6 +239,22 @@ def flownet2_throughput_check(flops_tbl: dict) -> dict:
             out, "flow_fwd",
             flops_tbl.get("flownet2_fwd_b4_192x256", -1.0), best,
         )
+
+        # the production bf16 fast path (calc-flow --flow-dtype bfloat16,
+        # PROFILE.md §5: 1.8x at fixed batch, 2.1x with the chunk-8
+        # default at the VAD protocol) — pinned at the same geometry and
+        # batch as the f32 arm so the ratio is the dtype win alone
+        from vec_vad_tpu.flow.driver import cast_flow_variables
+
+        v_bf = cast_flow_variables(variables, jnp.bfloat16)
+        x_bf = x.astype(jnp.bfloat16)
+        float(run(v_bf, x_bf))
+        best_bf = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(v_bf, x_bf))
+            best_bf = min(best_bf, (time.perf_counter() - t0) / K)
+        out["flow_maps_per_s_bf16"] = round(B / best_bf, 1)
     except Exception as e:
         out["flow_maps_per_s"] = -1.0
         out["flow_error"] = repr(e)[:200]

@@ -231,3 +231,84 @@ def test_compute_optical_flow_resident_matches_chunked():
     )
     assert resident.shape == (11, 32, 40, 2)
     np.testing.assert_allclose(resident, chunked, atol=1e-5)
+
+
+def test_compute_optical_flow_bf16_dtype_policy():
+    """flow_dtype='bfloat16' runs the net forward in bf16 (weights cast
+    once, activations cast in the chunk program) but the .npy-facing
+    output stays float32 and tracks the f32 result to bf16 rounding.
+    Guards the 2.1x TPU fast path (PROFILE.md §5) against dtype leaks:
+    an f32 output produced by an accidentally-f32 forward would show
+    zero drift, so the test also asserts the forward REALLY saw bf16."""
+    import flax.linen as nn
+
+    from vec_vad_tpu.flow.driver import cast_flow_variables
+
+    seen_dtypes = []
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, pair):
+            seen_dtypes.append(pair.dtype)
+            x = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=-1)
+            return nn.Conv(2, (3, 3), dtype=pair.dtype)(x / 255.0)
+
+    net = TinyNet()
+    idx = VideoIndex(["a"], np.array([6]))
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (6, 32, 40, 3), dtype=np.uint8)
+    variables = net.init(
+        jax.random.key(0), jnp.zeros((1, 2, 384, 512, 3))
+    )
+
+    f32 = compute_optical_flow(net, variables, idx, frames, chunk=2)
+    bf16 = compute_optical_flow(
+        net, variables, idx, frames, chunk=2, compute_dtype="bfloat16"
+    )
+    assert jnp.bfloat16 in seen_dtypes  # the forward actually ran bf16
+    assert bf16.dtype == np.float32
+    assert np.isfinite(bf16).all()
+    # bf16 has ~8 mantissa bits: expect small relative drift, not zero
+    scale = np.abs(f32).max()
+    assert np.abs(bf16 - f32).max() < 0.05 * scale + 1e-6
+    assert np.abs(bf16 - f32).max() > 0.0
+
+    # weight cast is one-time and leaves non-float leaves alone
+    cast = cast_flow_variables(
+        {"params": {"w": jnp.ones((2,), jnp.float32),
+                    "i": jnp.ones((2,), jnp.int32)}},
+        "bfloat16",
+    )
+    assert cast["params"]["w"].dtype == jnp.bfloat16
+    assert cast["params"]["i"].dtype == jnp.int32
+
+
+def test_calc_flow_cli_flag_plumbing(tmp_path, monkeypatch):
+    """`calc-flow --flow-dtype bfloat16 --chunk 0` must reach
+    run_calc_flow as flow_dtype='bfloat16', chunk=None (per-dtype
+    default selection happens inside the runner: 4 f32 / 8 bf16)."""
+    import vec_vad_tpu.runner as runner_mod
+    from vec_vad_tpu import cli
+
+    calls = {}
+
+    # runner-side per-dtype chunk default (inspect BEFORE monkeypatching)
+    import inspect
+
+    src = inspect.getsource(runner_mod.run_calc_flow)
+    assert '8 if flow_dtype == "bfloat16" else 4' in src
+
+    def fake_run_calc_flow(cfg, base, **kw):
+        calls.update(kw)
+
+    monkeypatch.setattr(runner_mod, "run_calc_flow", fake_run_calc_flow)
+    cfg_path = str(tmp_path / "c.cfg")
+    with open(cfg_path, "w") as f:
+        f.write("[shared_parameters]\ndataset_name = UCSDped2\n")
+    rc = cli.main([
+        "calc-flow", "--config", cfg_path, "--base", str(tmp_path),
+        "--flow-dtype", "bfloat16",
+    ])
+    assert rc == 0
+    assert calls["flow_dtype"] == "bfloat16"
+    assert calls["chunk"] is None  # 0 -> per-dtype optimum in the runner

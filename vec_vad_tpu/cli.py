@@ -363,6 +363,7 @@ def cmd_calc_flow(args) -> int:
     run_calc_flow(
         cfg, args.base, checkpoint=args.checkpoint, splits=splits,
         resident=args.resident, segment_frames=args.segment_frames or None,
+        chunk=args.chunk or None, flow_dtype=args.flow_dtype,
     )
     return 0
 
@@ -686,6 +687,17 @@ def main(argv=None) -> int:
         "--segment-frames", type=int, default=0,
         help="force the memory-bounded segmented path with this segment "
         "size (0 = auto-route by footprint; oversized splits stream)",
+    )
+    p.add_argument(
+        "--flow-dtype", choices=("float32", "bfloat16"), default="float32",
+        help="FlowNet forward dtype (.npy output is always f32); "
+        "bfloat16 is 2.1x maps/s on TPU at the 384x512 protocol but "
+        "shifts flow values by bf16 rounding",
+    )
+    p.add_argument(
+        "--chunk", type=int, default=0,
+        help="frame pairs per FlowNet batch (0 = per-dtype optimum: "
+        "4 f32, 8 bf16)",
     )
     p.set_defaults(fn=cmd_calc_flow)
 

@@ -51,7 +51,8 @@ def flow_pair_indices(index: VideoIndex) -> Tuple[np.ndarray, np.ndarray]:
     return first, second
 
 
-def _make_run_chunk(net, C: int, H: int, W: int, mh: int, mw: int):
+def _make_run_chunk(net, C: int, H: int, W: int, mh: int, mw: int,
+                    compute_dtype=jnp.float32):
     """The per-chunk flow program: (B,H,W,C) uint8 pairs -> (B,H,W,2) flow
     at original size (resize to model_hw, gray->3ch replicate, FlowNet2,
     resize back WITHOUT magnitude rescaling — calc_optical_flow.py:59,82).
@@ -59,7 +60,14 @@ def _make_run_chunk(net, C: int, H: int, W: int, mh: int, mw: int):
     `v` is an explicit argument everywhere (not a closure capture):
     captured weight arrays serialize into the program body, which blows
     past remote-compile request limits at FlowNet2 size (observed
-    HTTP 413 on the relay backend)."""
+    HTTP 413 on the relay backend).
+
+    `compute_dtype=bfloat16` runs the FlowNet forward in bf16 (the caller
+    casts the weights once via `cast_flow_variables`; activations cast
+    here, the flow returns to f32 in the output resize). Measured 1.8x on
+    hardware at fixed batch once the packed-gather warp removed the glue
+    bottleneck — see PROFILE.md §5; the resize matmuls stay f32/HIGHEST
+    for cv2 parity of the frame resample."""
 
     def run_chunk(v, f1, f2):
         r1 = resize_bilinear(f1, mh, mw)
@@ -68,10 +76,25 @@ def _make_run_chunk(net, C: int, H: int, W: int, mh: int, mw: int):
             r1 = jnp.repeat(r1, 3, axis=-1)
             r2 = jnp.repeat(r2, 3, axis=-1)
         pair = jnp.stack([r1, r2], axis=1)  # (B, 2, mh, mw, 3)
-        flow = net.apply(v, pair)
+        flow = net.apply(v, pair.astype(compute_dtype))
         return resize_bilinear(flow, H, W)
 
     return run_chunk
+
+
+def cast_flow_variables(variables, compute_dtype):
+    """Cast the float leaves of a FlowNet variable pytree to
+    `compute_dtype` (non-float leaves untouched). One-time, outside jit —
+    halves weight HBM residency for bf16 and keeps the cast out of the
+    per-chunk program."""
+    compute_dtype = jnp.dtype(compute_dtype)
+    if compute_dtype == jnp.float32:
+        return variables
+    return jax.tree.map(
+        lambda l: l.astype(compute_dtype)
+        if jnp.issubdtype(l.dtype, jnp.floating) else l,
+        variables,
+    )
 
 
 def compute_optical_flow(
@@ -82,6 +105,7 @@ def compute_optical_flow(
     chunk: int = 4,
     model_hw: Tuple[int, int] = (384, 512),
     resident: bool = False,
+    compute_dtype=jnp.float32,
 ) -> np.ndarray:
     """Dense flow for every frame of a split: (N, H, W, 2) float32.
 
@@ -91,11 +115,17 @@ def compute_optical_flow(
     chunk — the same design as the resident scoring path, and the right
     shape for remote/tunneled accelerators where per-call latency
     dominates. Needs HBM for frames + N*H*W*2 floats of flow.
+
+    compute_dtype=bfloat16: FlowNet forward in bf16 (output stays f32).
+    Hardware: 2.1x maps/s at the 384x512 protocol with chunk=8 vs the
+    f32 chunk=4 default (PROFILE.md §5). Flow values shift by bf16
+    rounding — keep f32 where reference score parity matters.
     """
     n, H, W, C = frames.shape
     first, second = flow_pair_indices(index)
     mh, mw = model_hw
-    run_chunk = _make_run_chunk(net, C, H, W, mh, mw)
+    variables = cast_flow_variables(variables, compute_dtype)
+    run_chunk = _make_run_chunk(net, C, H, W, mh, mw, compute_dtype)
 
     frames_j = frames if isinstance(frames, jax.Array) else jnp.asarray(
         np.asarray(frames)
@@ -143,6 +173,7 @@ def compute_optical_flow_segmented(
     segment_frames: int = 512,
     chunk: int = 4,
     model_hw: Tuple[int, int] = (384, 512),
+    compute_dtype=jnp.float32,
 ) -> int:
     """Memory-bounded flow precomputation for beyond-HBM/RAM splits.
 
@@ -169,7 +200,8 @@ def compute_optical_flow_segmented(
     first, second = flow_pair_indices(index)
     mh, mw = model_hw
     S = -(-segment_frames // chunk) * chunk
-    run_chunk = _make_run_chunk(net, C, H, W, mh, mw)
+    variables = cast_flow_variables(variables, compute_dtype)
+    run_chunk = _make_run_chunk(net, C, H, W, mh, mw, compute_dtype)
 
     @jax.jit
     def run_seg(v, fwin, i1, i2):

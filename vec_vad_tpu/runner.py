@@ -345,11 +345,12 @@ def run_calc_flow(
     base: str,
     checkpoint: Optional[str] = None,
     splits: Tuple[str, ...] = ("train", "test"),
-    chunk: int = 4,
+    chunk: Optional[int] = None,
     resident: bool = False,
     segment_frames: Optional[int] = None,
     memory_budget_bytes: float = 4e9,
     max_whole_split_frames: int = 512,
+    flow_dtype: str = "float32",
 ) -> None:
     """Precompute the optical-flow tree with FlowNet2
     (calc_optical_flow.py equivalent). resident=True computes each
@@ -366,7 +367,14 @@ def run_calc_flow(
     path even when they fit the memory budget: the whole-split program is
     ONE device execution of n/chunk FlowNet2 iterations, and a 2550-frame
     UCSDped2 split (an ~80 s single execution) crashed the remote TPU
-    worker mid-run — per-segment calls keep every execution bounded."""
+    worker mid-run — per-segment calls keep every execution bounded.
+
+    flow_dtype='bfloat16' runs the FlowNet forward in bf16 (.npy output
+    stays f32): 2.1x maps/s on hardware at the 384x512 protocol, with
+    the batch default bumped to 8 (chunk=None picks 4 for f32, 8 for
+    bf16 — the measured per-geometry optima, PROFILE.md §5). Flow values
+    shift by bf16 rounding; keep float32 when reproducing reference
+    scores bit-for-bit matters more than speed."""
     import jax
     import jax.numpy as jnp
 
@@ -378,6 +386,9 @@ def run_calc_flow(
     )
     from vec_vad_tpu.models.flownet import FlowNet2, load_flownet2_checkpoint
 
+    chunk = chunk if chunk is not None else (
+        8 if flow_dtype == "bfloat16" else 4
+    )
     net = FlowNet2()
     x0 = jnp.zeros((1, 2, 384, 512, 3))
     if checkpoint:
@@ -406,7 +417,7 @@ def run_calc_flow(
             write = flow_tree_writer(index, of_root, root)
             compute_optical_flow_segmented(
                 net, variables, index, lazy, write,
-                segment_frames=seg, chunk=chunk,
+                segment_frames=seg, chunk=chunk, compute_dtype=flow_dtype,
             )
             print(
                 f"{split}: wrote {n} flow maps to {of_root} "
@@ -415,7 +426,8 @@ def run_calc_flow(
         else:
             frames = np.asarray(lazy)
             flow = compute_optical_flow(
-                net, variables, index, frames, chunk=chunk, resident=resident
+                net, variables, index, frames, chunk=chunk,
+                resident=resident, compute_dtype=flow_dtype,
             )
             save_flow_tree(flow, index, of_root, root)
             print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
