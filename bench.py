@@ -502,6 +502,62 @@ def main() -> None:
     assert got + len(mcs.drain()) == 3 + nt
     record["streaming_cam8_fps"] = round(nt * ncam / dt, 1)
 
+    # (e) LIVE-FLOW serving (FlowStreamingScorer): the full two-stream
+    # model with FlowNet2 computed on-device inside the per-frame fused
+    # step — no precomputed flow tree, the flagship "switch on a camera"
+    # mode. Round-3 baseline 30.2 fps pipelined; the packed-gather warp
+    # fix lifted it to 68.6 (f32; 74.8 bf16) — pinned so the L0+L1+L4
+    # fused serving stack regresses visibly. Zero-init FlowNet2 weights
+    # via eval_shape (timing is value-independent; a real init/upload
+    # costs minutes through the tunnel).
+    try:
+        import jax.numpy as jnp
+
+        from vec_vad_tpu.config import CompletionConfig, PipelineConfig
+        from vec_vad_tpu.models.completion import make_completion_net
+        from vec_vad_tpu.models.flownet import FlowNet2
+        from vec_vad_tpu.serve import FlowStreamingScorer
+
+        cfg2 = PipelineConfig(
+            dataset_name=cfg.dataset_name, fore=cfg.fore,
+            model=CompletionConfig(
+                nf=cfg.model.nf, context_of_num=0, use_flow=True
+            ),
+        )
+        net2 = make_completion_net(cfg2.model)
+        P = cfg2.fore.patch_size
+        v2 = net2.init(
+            jax.random.key(0),
+            np.zeros((1, P, P, cfg2.model.tot_raw_num * 3), np.float32),
+            np.zeros((1, P, P, cfg2.model.tot_of_num * 2), np.float32),
+            False,
+        )
+        fn2 = FlowNet2()
+        fshapes = jax.eval_shape(
+            lambda k: fn2.init(k, jnp.zeros((1, 2, 384, 512, 3))),
+            jax.random.key(0),
+        )
+        fvars = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fshapes)
+        lf = FlowStreamingScorer(
+            cfg2, v2, (100.0, 30.0, 1.0, 1.0), pipeline_depth=2,
+            flow_net=fn2, flow_variables=fvars, flow_model_hw=(384, 512),
+            net=net2, max_boxes=cfg2.fore.max_boxes_per_frame,
+            gray_stream=True,
+        )
+        lf.start_video()
+        for i in range(skip):
+            lf.push(gray[i % n, ..., 0], boxes_list[i % n])
+        nlf = 100
+        t0 = time.perf_counter()
+        for i in range(skip, skip + nlf):
+            lf.push(gray[i % n, ..., 0], boxes_list[i % n])
+        dt = time.perf_counter() - t0
+        record["liveflow_ms_per_frame"] = round(dt / nlf * 1e3, 1)
+        record["liveflow_fps"] = round(nlf / dt, 1)
+    except Exception as e:  # never sink the whole bench on one stage
+        record["liveflow_fps"] = -1.0
+        record["liveflow_error"] = repr(e)[:200]
+
     # Training throughput: one flagship block (2048 cubes, the configured
     # 10 epochs at batch 128 = 160 optimizer steps) through the public
     # fit_block surface — whole-run device-resident lax.scan + the

@@ -462,3 +462,27 @@ def test_live_flow_bf16_flow_compute():
     assert np.isfinite(b).all()
     # scores are z-normed (O(1) scale); bf16 flow perturbs them slightly
     np.testing.assert_allclose(a, b, atol=0.15)
+
+
+def test_serve_cli_flow_dtype_plumbing(monkeypatch):
+    """`serve --flow-dtype bfloat16` must reach the scorer as
+    flow_compute_dtype=bfloat16 via _build_live_flow (FlowNet2 build
+    stubbed out — a real 162.5M-param init is minutes on one CPU core)."""
+    from types import SimpleNamespace
+
+    import vec_vad_tpu.models.flownet as fmod
+    from vec_vad_tpu import cli
+
+    class StubNet:
+        def init(self, key, x):
+            return {}
+
+    monkeypatch.setattr(fmod, "FlowNet2", StubNet)
+    _, _, kw = cli._build_live_flow(
+        SimpleNamespace(flow_checkpoint=None, flow_dtype="bfloat16")
+    )
+    assert kw == {"flow_compute_dtype": jnp.bfloat16}
+    _, _, kw = cli._build_live_flow(
+        SimpleNamespace(flow_checkpoint=None, flow_dtype="float32")
+    )
+    assert kw == {"flow_compute_dtype": jnp.float32}

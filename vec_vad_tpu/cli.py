@@ -82,7 +82,10 @@ def cmd_test(args) -> int:
 
 
 def _build_live_flow(args):
-    """FlowNet2 + variables for --live-flow (checkpoint or random)."""
+    """FlowNet2 + variables for --live-flow (checkpoint or random).
+    Returns (net, variables, scorer_kwargs) — kwargs carry the
+    --flow-dtype knob (bf16 forward: ~9% latency, half the flow-weight
+    HBM; scores shift by bf16 rounding, PROFILE.md §6)."""
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +99,12 @@ def _build_live_flow(args):
     else:
         fvars = fnet.init(jax.random.key(0), x0)
         print("WARNING: no --flow-checkpoint — random-init FlowNet2")
-    return fnet, fvars
+    fdt = (
+        jnp.bfloat16
+        if getattr(args, "flow_dtype", "float32") == "bfloat16"
+        else jnp.float32
+    )
+    return fnet, fvars, {"flow_compute_dtype": fdt}
 
 
 def _serve_fleet(cfg, model, data, args, live: bool) -> int:
@@ -115,9 +123,9 @@ def _serve_fleet(cfg, model, data, args, live: bool) -> int:
     if live:
         from vec_vad_tpu.serve import MultiCameraFlowScorer
 
-        fnet, fvars = _build_live_flow(args)
+        fnet, fvars, fkw = _build_live_flow(args)
         scorer = MultiCameraFlowScorer.from_model(
-            model, n_cameras=C, flow_net=fnet, flow_variables=fvars
+            model, n_cameras=C, flow_net=fnet, flow_variables=fvars, **fkw
         )
     else:
         from vec_vad_tpu.serve import MultiCameraScorer
@@ -226,9 +234,9 @@ def cmd_serve(args) -> int:
     if live:
         from vec_vad_tpu.serve import FlowStreamingScorer
 
-        fnet, fvars = _build_live_flow(args)
+        fnet, fvars, fkw = _build_live_flow(args)
         scorer = FlowStreamingScorer.from_model(
-            model, flow_net=fnet, flow_variables=fvars
+            model, flow_net=fnet, flow_variables=fvars, **fkw
         )
     elif motion:
         from vec_vad_tpu.serve import MotionStreamingScorer
@@ -669,6 +677,12 @@ def main(argv=None) -> int:
         help="compute foreground boxes IN the serving loop from the "
         "frame stream (the reference's motion-detector recipe) instead "
         "of using the workspace's bbox source (MotionStreamingScorer)",
+    )
+    p.add_argument(
+        "--flow-dtype", choices=("float32", "bfloat16"), default="float32",
+        help="--live-flow FlowNet forward dtype: bfloat16 is ~9% faster "
+        "per frame and halves flow-weight HBM (scores shift by bf16 "
+        "rounding)",
     )
     p.set_defaults(fn=cmd_serve)
 

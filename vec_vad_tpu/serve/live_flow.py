@@ -70,11 +70,12 @@ class FlowStreamingScorer(StreamingScorer):
                  flow_compute_dtype=jnp.float32, **kw):
         """flow_compute_dtype: dtype of the FlowNet forward (weights cast
         once at construction, activations per call; the resulting flow
-        map returns to float32 before the ring write and scoring). The
-        completion ensemble's tiny convs don't profit from bf16
-        (CLAUDE.md measurement) but FlowNet2's 384x512 convs are
-        MXU-sized — bf16 here targets the step's dominant compute.
-        Scores shift by the flow quantization; default stays float32."""
+        map returns to float32 before the ring write and scoring).
+        Hardware (post warp-fix, PROFILE.md §6): bf16 is ~9% per-frame
+        here (74.8 vs 68.6 fps pipelined — the b1 step is dispatch-bound,
+        unlike batched calc-flow where bf16 is 1.8x) and halves the
+        162.5M-param flow-weight HBM residency. Scores shift by the flow
+        quantization; default stays float32."""
         if not cfg.model.use_flow:
             raise ValueError(
                 "FlowStreamingScorer serves two-stream models; "
