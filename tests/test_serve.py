@@ -646,6 +646,131 @@ def test_motion_streaming_one_frame_video():
     assert out == [-scorer.big_number]
 
 
+def test_motion_flow_streaming_self_contained():
+    """MotionFlowStreamingScorer: `push(frame)` is the ENTIRE input —
+    boxes from the in-loop motion recipe AND flow from the in-loop
+    FlowNet — and the scores match the offline two-stream pipeline run
+    with motion-mode boxes + driver-computed flow (same net, same
+    protocol), including the reference's flow-pair rule at heads/tails
+    and the 2-frame-video degenerate pair, plus the motion-magnitude
+    cube filter."""
+    from dataclasses import replace
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.flow.driver import compute_optical_flow
+    from vec_vad_tpu.fore.detector import compute_foreground_bboxes
+    from vec_vad_tpu.serve import MotionFlowStreamingScorer
+
+    class TinyFlow(nn.Module):
+        @nn.compact
+        def __call__(self, pair, train: bool = False):
+            x = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=-1) / 255.0
+            x = nn.relu(nn.Conv(8, (3, 3))(x))
+            return nn.Conv(2, (3, 3))(x)
+
+    fhw = (24, 32)
+    fnet = TinyFlow()
+    fvars = fnet.init(
+        jax.random.key(7), jnp.zeros((1, 2) + fhw + (3,), jnp.float32)
+    )
+
+    ds, cfg, model = _train_tiny(use_flow=True, seed=27)
+    # 3-frame tail (not 2): a 2-frame video's flow pair is position-
+    # dependent offline (the reference's global-head pad quirk) —
+    # serving uses standalone-video semantics, tested separately below
+    lengths = [12, 9, 3]
+    frames = _motion_frames(lengths, seed=11)
+    te_idx = VideoIndex(
+        [f"v{i}" for i in range(len(lengths))], np.asarray(lengths)
+    )
+    te_flow = compute_optical_flow(fnet, fvars, te_idx, frames, model_hw=fhw)
+
+    cfg_m = replace(
+        cfg,
+        fore=replace(
+            cfg.fore, extraction_mode="obj_det_with_motion", motion_thr=0.05
+        ),
+    )
+    empty_det = lambda img: (np.zeros((0, 4)), np.zeros(0))  # noqa: E731
+    offline_boxes = compute_foreground_bboxes(
+        cfg_m, SPEC, te_idx, frames=frames, detector=empty_det, chunk=5
+    )
+    assert sum(b.shape[0] for b in offline_boxes) > 0, "no motion found"
+    offline = _offline_scores_with_boxes(
+        cfg_m, model, frames, offline_boxes, te_idx, te_flow
+    )
+
+    scorer = MotionFlowStreamingScorer.from_model(
+        model, spec=SPEC, flow_net=fnet, flow_variables=fvars,
+        flow_model_hw=fhw,
+    )
+    scorer.cfg = cfg_m  # motion_thr for the mag filter, as the CLI loads
+    streamed = []
+    i = 0
+    for ln in lengths:
+        scorer.start_video()
+        vid = []
+        for _ in range(ln):
+            s = scorer.push(frames[i])  # frames ONLY — nothing else
+            if s is not None:
+                vid.append(s)
+            i += 1
+        vid += scorer.end_video()
+        assert len(vid) == ln
+        streamed += vid
+    streamed = np.asarray(streamed, np.float32)
+    # the test is vacuous if every frame degenerates to -big_number
+    assert (streamed > -scorer.big_number).sum() >= len(streamed) // 2
+    np.testing.assert_allclose(streamed, offline, rtol=2e-4, atol=2e-4)
+
+    # standalone 2-frame video: BOTH frames' flow pairs degenerate to
+    # (f0, f0) — the own-split semantics the serving stack uses
+    # (FlowStreamingScorer's convention; see _flow_pair's docstring)
+    frames2 = _motion_frames([2], seed=13)
+    te_idx2 = VideoIndex(["a"], np.asarray([2]))
+    te_flow2 = compute_optical_flow(
+        fnet, fvars, te_idx2, frames2, model_hw=fhw
+    )
+    boxes2 = compute_foreground_bboxes(
+        cfg_m, SPEC, te_idx2, frames=frames2, detector=empty_det, chunk=5
+    )
+    offline2 = _offline_scores_with_boxes(
+        cfg_m, model, frames2, boxes2, te_idx2, te_flow2
+    )
+    sc2 = MotionFlowStreamingScorer.from_model(
+        model, spec=SPEC, flow_net=fnet, flow_variables=fvars,
+        flow_model_hw=fhw,
+    )
+    sc2.cfg = cfg_m
+    sc2.start_video()
+    vid2 = [s for s in (sc2.push(frames2[0]), sc2.push(frames2[1]))
+            if s is not None]
+    vid2 += sc2.end_video()
+    np.testing.assert_allclose(
+        np.asarray(vid2, np.float32), offline2, rtol=2e-4, atol=2e-4
+    )
+
+    # the flow= argument is the streamed-flow scorer's job
+    with pytest.raises(ValueError, match="computes flow in the loop"):
+        scorer2 = MotionFlowStreamingScorer.from_model(
+            model, spec=SPEC, flow_net=fnet, flow_variables=fvars,
+            flow_model_hw=fhw,
+        )
+        scorer2.start_video()
+        scorer2.push(frames[0], flow=te_flow[0])
+
+    # raw-only models are MotionStreamingScorer territory
+    ds_r, cfg_r, model_r = _train_tiny(use_flow=False, seed=28)
+    with pytest.raises(ValueError, match="two-stream"):
+        MotionFlowStreamingScorer.from_model(
+            model_r, spec=SPEC, flow_net=fnet, flow_variables=fvars,
+            flow_model_hw=fhw,
+        )
+
+
 def test_motion_streaming_ap_merge():
     """Caller-supplied appearance boxes merge exactly like the offline
     obj_det_with_motion stage: they mask the motion map and concatenate

@@ -224,14 +224,23 @@ def cmd_serve(args) -> int:
             "--live-flow needs a two-stream model (useFlow=True); "
             "this config is raw-only"
         )
-    if motion and (live or int(getattr(args, "cameras", 1)) > 1):
+    if motion and int(getattr(args, "cameras", 1)) > 1:
         raise SystemExit(
-            "--motion composes with the single-camera precomputed-flow "
-            "scorer only (not --live-flow / --cameras)"
+            "--motion composes with single-camera serving only "
+            "(not --cameras)"
         )
     if int(getattr(args, "cameras", 1)) > 1:
         return _serve_fleet(cfg, model, data, args, live)
-    if live:
+    if live and motion:
+        # fully self-contained: boxes AND flow computed in the loop
+        from vec_vad_tpu.serve import MotionFlowStreamingScorer
+
+        fnet, fvars, fkw = _build_live_flow(args)
+        scorer = MotionFlowStreamingScorer.from_model(
+            model, spec=cfg.dataset, flow_net=fnet, flow_variables=fvars,
+            **fkw,
+        )
+    elif live:
         from vec_vad_tpu.serve import FlowStreamingScorer
 
         fnet, fvars, fkw = _build_live_flow(args)
@@ -265,7 +274,9 @@ def cmd_serve(args) -> int:
                 break
             frame = np.asarray(data.frames[i])
             t0 = time.perf_counter()
-            if live:
+            if live and motion:
+                s = scorer.push(frame)  # boxes AND flow computed in-loop
+            elif live:
                 s = scorer.push(frame, data.boxes[i])
             else:
                 flow = (
@@ -281,12 +292,12 @@ def cmd_serve(args) -> int:
             if s is not None:
                 scores.append(s)
             i += 1
-        if live:
+        if motion:
+            scores.extend(scorer.end_video())
+        elif live:
             s = scorer.end_video()
             if s is not None:
                 scores.append(s)
-        elif motion:
-            scores.extend(scorer.end_video())
     scores.extend(scorer.drain())
     lat = np.array(lat[2:]) if len(lat) > 2 else np.array(lat)  # drop compiles
     print(

@@ -41,6 +41,11 @@ mesh), with per-camera video boundaries and scene routing.
 `FlowStreamingScorer` fuses a FlowNet forward into the per-frame step so
 a two-stream model serves a raw camera feed with NO precomputed flow —
 something the reference's offline calc_optical_flow relay cannot do.
+`MotionStreamingScorer` computes the foreground boxes in the loop from
+the frame stream (the reference's motion recipe), and
+`MotionFlowStreamingScorer` combines both: `push(frame)` is the entire
+input — boxes AND flow computed inside the fused per-frame call, the
+fully self-contained "switch on a camera" mode for two-stream models.
 
 Hardware (UCSDped2 geometry through the remote relay, 200-frame medians,
 BENCH_r03): synchronous push 34.4 ms median / 39.1 ms p90 per frame;
@@ -66,6 +71,9 @@ from vec_vad_tpu.serve.live_flow import (  # noqa: F401
     MultiCameraFlowScorer,
 )
 from vec_vad_tpu.serve.motion import MotionStreamingScorer  # noqa: F401
+from vec_vad_tpu.serve.motion_flow import (  # noqa: F401
+    MotionFlowStreamingScorer,
+)
 from vec_vad_tpu.serve.streaming import StreamingScorer  # noqa: F401
 
 __all__ = [
@@ -74,4 +82,5 @@ __all__ = [
     "FlowStreamingScorer",
     "MultiCameraFlowScorer",
     "MotionStreamingScorer",
+    "MotionFlowStreamingScorer",
 ]
