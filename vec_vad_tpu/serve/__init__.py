@@ -47,12 +47,15 @@ the frame stream (the reference's motion recipe), and
 input — boxes AND flow computed inside the fused per-frame call, the
 fully self-contained "switch on a camera" mode for two-stream models.
 
-Hardware (UCSDped2 geometry through the remote relay, 200-frame medians,
-BENCH_r03): synchronous push 34.4 ms median / 39.1 ms p90 per frame;
-pipeline_depth=2 sustains 29.8 fps; push_many (8 frames per device call)
-sustains 131 fps. The per-call relay round trip (~25 ms) dominates the
-single-frame modes — on locally-attached TPU hardware the same step is
-sub-millisecond of device work.
+Hardware (UCSDped2 geometry through the remote relay, 200-frame
+medians, round-4 bench): synchronous push 34.6 ms median / 37.5 ms p90
+per frame; pipeline_depth=2 sustains 83.7 fps; push_many (8 frames per
+device call) 133 fps; 8-camera fleet tick 425 fps aggregate; live-flow
+(full FlowNet2 fused in the step) 65.8 fps pipelined; the fully
+self-contained motion+flow mode 21.9 fps synchronous. The per-call
+relay round trip (~25 ms) dominates the single-frame modes — on
+locally-attached TPU hardware the same step is sub-millisecond of
+device work.
 """
 
 from __future__ import annotations
