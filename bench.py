@@ -210,7 +210,10 @@ def flownet2_throughput_check(flops_tbl: dict) -> dict:
         variables = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes
         )
-        K = 8
+        # K sized so one timed run (K x ~14-25 ms/batch) is >=330 ms
+        # wall — the ~25 ms relay RTT then pollutes the per-map figure
+        # by <8% even on the faster bf16 arm (K=8 left bf16 ~22% high)
+        K = 24
 
         # explicit args, not closure captures: captured pytrees serialize
         # into the program body (remote-compile 413 limit, CLAUDE.md)

@@ -8,14 +8,38 @@ table/formatter round-trip — so the hardware tool can't bit-rot.
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from vec_vad_tpu.runtime.layer_profile import (
     UNET_CONV_SHAPES,
+    _build_timed_scan,
+    _conv,
     format_table,
     profile_completion_program,
     profile_ensemble_formulations,
     profile_unet_convs,
     timed_scan,
 )
+
+
+def test_probe_reduction_consumes_every_output_element():
+    """The probe must FULL-SUM the op output into its carry.
+
+    Round 4 shipped a probe that consumed only `ravel(y)[0]`; the TPU
+    compiler dead-code-eliminated every other output element (a conv
+    sliced itself to one output pixel and read 7,400 TF/s on a 197 TF/s
+    chip). XLA:CPU does NOT perform that elimination (verified: its
+    cost_analysis counts the full conv either way), so the gate locks
+    the protocol by VALUE: the probe returns n_iters x sum(op output)
+    — any single-element reduction produces a different number.
+    """
+    B, H, cin, cout, n = 4, 8, 8, 16, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, H, H, cin)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, cin, cout)), jnp.float32)
+    run = _build_timed_scan(_conv, 1, n)
+    expect = n * float(jnp.sum(_conv(x, w)))
+    np.testing.assert_allclose(float(run(x, w)), expect, rtol=1e-5)
 
 
 def test_timed_scan_basic():

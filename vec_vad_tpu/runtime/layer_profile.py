@@ -31,6 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: Wall-time floor one timing run must clear for the relay RTT (~25 ms
+#: through the axon tunnel) to pollute the per-iteration figure by <10%.
+#: Probes below this are RE-RUN with proportionally more scan iterations
+#: — the round-4 "0.23 ms/iteration floor regardless of FLOPs" reading
+#: was exactly this artifact (100 iters x 0.23 ms = one RTT).
+MIN_WALL_S = 0.3
+
+
 def _time_scalar_fn(run, args, flops_once, iters, repeats):
     """Shared timing discipline: one compile+warm call, then best-of-
     `repeats` wall times of `run(*args)` forced via a 4-byte scalar
@@ -47,6 +55,32 @@ def _time_scalar_fn(run, args, flops_once, iters, repeats):
     return per * 1e3, tps
 
 
+def _build_timed_scan(f: Callable, pi: int, n: int):
+    """The jitted n-iteration probe program for `f` (see timed_scan).
+
+    Kept as a separate helper so tests can compile it and assert, via
+    XLA cost_analysis, that the probed op survives whole: consuming only
+    y[0] lets XLA dead-code-eliminate every output element that doesn't
+    feed it — a conv probed that way sliced itself to one output pixel
+    and reported 7,400 TF/s on a 197 TF/s chip. The FULL sum forces the
+    whole op; its own cost is one HBM read of the output, small next to
+    any op worth profiling.
+    """
+
+    @jax.jit
+    def run(*a):
+        def body(acc, _):
+            pert = list(a)
+            pert[pi] = a[pi] + (acc * 1e-38).astype(a[pi].dtype)
+            y = f(*pert)
+            return acc + jnp.sum(y.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return acc
+
+    return run
+
+
 def timed_scan(
     f: Callable,
     args: Sequence,
@@ -54,12 +88,20 @@ def timed_scan(
     iters: int = 100,
     perturb: int = -1,
     repeats: int = 3,
+    min_wall_s: float = MIN_WALL_S,
+    max_iters: int = 200_000,
 ) -> Tuple[float, float]:
     """Time `f(*args)` on-device: returns (ms_per_iter, tflops_per_s).
 
     perturb: index of the argument to carry-perturb; -1 picks the
     smallest-by-bytes argument automatically (perturbation cost must be
     negligible next to the op being measured).
+
+    Auto-scales the scan length: if the whole timed run finishes in under
+    `min_wall_s`, the relay RTT (~25 ms/dispatch on this setup) is a
+    first-order term and the per-iteration number LIES — the probe is
+    recompiled with proportionally more iterations until wall >= the
+    floor. Pass min_wall_s=0 to disable (e.g. CPU unit tests).
 
     args are passed to the jitted program as EXPLICIT arguments — a
     closure-captured device buffer serializes into the program body, and
@@ -69,18 +111,18 @@ def timed_scan(
     sizes = [np.prod(np.shape(a)) for a in args]
     pi = int(np.argmin(sizes)) if perturb < 0 else perturb
 
-    @jax.jit
-    def run(*a):
-        def body(acc, _):
-            pert = list(a)
-            pert[pi] = a[pi] + (acc * 1e-38).astype(a[pi].dtype)
-            y = f(*pert)
-            return acc + jnp.ravel(y)[0].astype(jnp.float32), None
+    def build(n):
+        return _build_timed_scan(f, pi, n)
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return acc
-
-    return _time_scalar_fn(run, tuple(args), flops_once, iters, repeats)
+    args = tuple(args)
+    ms, tps = _time_scalar_fn(build(iters), args, flops_once, iters, repeats)
+    wall = ms * iters / 1e3
+    while wall < min_wall_s and iters < max_iters:
+        # target 1.5x the floor so one rescale usually suffices
+        iters = min(max_iters, max(iters + 1, int(iters * 1.5 * min_wall_s / max(wall, 1e-6))))
+        ms, tps = _time_scalar_fn(build(iters), args, flops_once, iters, repeats)
+        wall = ms * iters / 1e3
+    return ms, tps
 
 
 # (name, H==W, Cin, Cout): every distinct 3x3-conv shape in the depth-4
@@ -238,14 +280,10 @@ def profile_completion_program(
     (train/trainer.py). Loop hoisting is defeated by perturbing the first
     param leaf with the carry.
 
-    Round-4 hardware results (v5e via axon, flagship nf=32/E=4 geometry):
-    fwd b2048 85.2 (f32) / 89.6 (bf16) TF/s; fwd+bwd b128 97.8 / 110.6,
-    b1024 71.0 / 118.1 TF/s — i.e. ~36-60% MFU of the 197 TF/s bf16 peak
-    and a 1.66x bf16-over-f32 speedup at b1024, refuting the round-1
-    "~30 TF/s, bf16 useless" reading (that number measured per-call
-    dispatch, not the device). Training-scale steps remain dispatch/
-    dependency-bound: see profile_ensemble_formulations (all layouts
-    ~0.24 ms/iter at E=4 B=128).
+    Hardware numbers live in PROFILE.md §3 (they were re-measured in
+    round 4 after two timing traps were found and fixed: the relay-RTT
+    floor on short scans, and dead-code elimination when the probe
+    consumed only one output element — see timed_scan and MIN_WALL_S).
 
     Returns {f"{mode}_b{B}_{dtype}": (ms_per_iter, tflops_per_s)}.
     """
@@ -277,23 +315,38 @@ def profile_completion_program(
             # variables/x/of as EXPLICIT jit args (closure-captured
             # buffers serialize into the program body — HTTP 413 on the
             # remote-compile relay past ~100s of MB, see timed_scan)
-            @jax.jit
-            def run(v0, x0, of0):
-                def body(acc, _):
-                    v = perturbed(v0, acc)
-                    if mode == "fwd":
-                        return acc + fwd_v(v, x0, of0), None
-                    g = jax.grad(loss_v)(v, x0, of0)
-                    return acc + jax.tree.leaves(g)[0].ravel()[0], None
+            def build(n):
+                @jax.jit
+                def run(v0, x0, of0):
+                    def body(acc, _):
+                        v = perturbed(v0, acc)
+                        if mode == "fwd":
+                            return acc + fwd_v(v, x0, of0), None
+                        g = jax.grad(loss_v)(v, x0, of0)
+                        # consume EVERY grad leaf: reading one leaf lets
+                        # XLA skip the other layers' weight-gradients
+                        # (dead-code elimination — see timed_scan)
+                        tot = sum(
+                            jnp.sum(l.astype(jnp.float32))
+                            for l in jax.tree.leaves(g)
+                        )
+                        return acc + tot, None
 
-                acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-                return acc
+                    acc, _ = jax.lax.scan(
+                        body, jnp.float32(0.0), None, length=n
+                    )
+                    return acc
+
+                return run
 
             def fwd_v(v, x0, of0):
                 vc = jax.tree.map(lambda p: p.astype(dt), v)
                 out = net.apply(vc, x0.astype(dt), of0.astype(dt), False)
                 err = (out.raw_out - out.raw_tgt).astype(jnp.float32)
-                return jnp.sum(jnp.square(err), axis=(0, 2, 3, 4))[0]
+                # full reduction over members AND batch — indexing [0]
+                # here let XLA dead-code-eliminate the other members'
+                # forwards (see timed_scan)
+                return jnp.sum(jnp.square(err))
 
             def loss_v(v, x0, of0):
                 vc = jax.tree.map(lambda p: p.astype(dt), v)
@@ -301,7 +354,15 @@ def profile_completion_program(
                 err = (out.raw_out - jax.lax.stop_gradient(out.raw_tgt))
                 return jnp.mean(jnp.square(err.astype(jnp.float32)))
 
-            ms, tps = _time_scalar_fn(run, (variables, x, of), fl, iters, 3)
+            n = iters
+            ms, tps = _time_scalar_fn(build(n), (variables, x, of), fl, n, 3)
+            wall = ms * n / 1e3
+            while wall < MIN_WALL_S and n < 10_000:
+                n = min(10_000, max(n + 1, int(n * 1.5 * MIN_WALL_S / max(wall, 1e-6))))
+                ms, tps = _time_scalar_fn(
+                    build(n), (variables, x, of), fl, n, 3
+                )
+                wall = ms * n / 1e3
             key = f"{mode}_b{B}_{jnp.dtype(dt).name}"
             results[key] = (round(ms, 3), round(tps, 1))
     return results
