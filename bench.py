@@ -247,17 +247,23 @@ def flownet2_throughput_check(flops_tbl: dict) -> dict:
         # PROFILE.md §5: 1.8x at fixed batch, 2.1x with the chunk-8
         # default at the VAD protocol) — pinned at the same geometry and
         # batch as the f32 arm so the ratio is the dtype win alone
-        from vec_vad_tpu.flow.driver import cast_flow_variables
+        # own try/except so a bf16-only failure (e.g. a bf16 compile
+        # issue) can't clobber the already-measured f32 number
+        try:
+            from vec_vad_tpu.flow.driver import cast_flow_variables
 
-        v_bf = cast_flow_variables(variables, jnp.bfloat16)
-        x_bf = x.astype(jnp.bfloat16)
-        float(run(v_bf, x_bf))
-        best_bf = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+            v_bf = cast_flow_variables(variables, jnp.bfloat16)
+            x_bf = x.astype(jnp.bfloat16)
             float(run(v_bf, x_bf))
-            best_bf = min(best_bf, (time.perf_counter() - t0) / K)
-        out["flow_maps_per_s_bf16"] = round(B / best_bf, 1)
+            best_bf = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(v_bf, x_bf))
+                best_bf = min(best_bf, (time.perf_counter() - t0) / K)
+            out["flow_maps_per_s_bf16"] = round(B / best_bf, 1)
+        except Exception as e:
+            out["flow_maps_per_s_bf16"] = -1.0
+            out["flow_bf16_error"] = repr(e)[:200]
     except Exception as e:
         out["flow_maps_per_s"] = -1.0
         out["flow_error"] = repr(e)[:200]

@@ -422,18 +422,40 @@ def _load_flow_torch_checkpoint(net, name: str, hw, path: str):
     return variables["params"], report
 
 
+_FLOW_DATASETS = (
+    "MpiSintel", "FlyingChairs", "ChairsSDHom",
+    "FlyingThingsClean", "FlyingThingsFinal", "ImagesFromFolder",
+)
+
+
+def _flow_dataset_makers(args):
+    """dataset-name -> constructor(root, **kw) for the flow harness CLI —
+    the reference's main.py dataset registry (FlowNet2_src/main.py:119-134
+    resolves `--training_dataset`/`--inference_dataset` against the
+    datasets module's class names)."""
+    from vec_vad_tpu.flow import datasets as fds
+
+    return {
+        "MpiSintel": lambda root, **kw: fds.MpiSintel(
+            root, dstype=args.dstype, **kw
+        ),
+        "FlyingChairs": fds.FlyingChairs,
+        "ChairsSDHom": fds.ChairsSDHom,
+        "FlyingThingsClean": fds.FlyingThingsClean,
+        "FlyingThingsFinal": fds.FlyingThingsFinal,
+        "ImagesFromFolder": lambda root, **kw: fds.ImagesFromFolder(
+            root, iext=args.iext, **kw
+        ),
+    }
+
+
 def cmd_flow_train(args) -> int:
-    """Fine-tune a flow net on Sintel/FlyingChairs/ChairsSDHom trees —
-    the reference's FlowNet2_src/main.py harness as a CLI: epoch loop
-    with per-epoch validation EPE, resumable checkpoint + model_best
-    tracking (flow/harness.py), StaticRandomCrop augmentation and /64
-    render-size handling (flow/datasets.py), multi-scale L1/L2 loss,
-    stepped LR schedule."""
-    from vec_vad_tpu.flow.datasets import (
-        ChairsSDHom,
-        FlyingChairs,
-        MpiSintel,
-    )
+    """Fine-tune a flow net on Sintel/FlyingChairs/ChairsSDHom/
+    FlyingThings trees — the reference's FlowNet2_src/main.py harness as
+    a CLI: epoch loop with per-epoch validation EPE, resumable checkpoint
+    + model_best tracking (flow/harness.py), StaticRandomCrop
+    augmentation and /64 render-size handling (flow/datasets.py),
+    multi-scale L1/L2 loss, stepped LR schedule."""
     from vec_vad_tpu.flow.harness import FlowHarness
     from vec_vad_tpu.flow.trainer import FlowTrainer
 
@@ -466,14 +488,14 @@ def cmd_flow_train(args) -> int:
         tuple(int(v) for v in args.crop_size.split(","))
         if args.crop_size else None
     )
-    makers = {
-        "MpiSintel": lambda root, **kw: MpiSintel(
-            root, dstype=args.dstype, **kw
-        ),
-        "FlyingChairs": FlyingChairs,
-        "ChairsSDHom": ChairsSDHom,
-    }
-    mk = makers[args.dataset]
+    if args.dataset == "ImagesFromFolder":
+        # zero ground-truth flow (datasets.py ImagesFromFolder) — training
+        # against it would teach the net to predict zeros
+        raise SystemExit(
+            "ImagesFromFolder has no ground-truth flow; it is a "
+            "flow-infer dataset only."
+        )
+    mk = _flow_dataset_makers(args)[args.dataset]
     train_ds = mk(args.data_root, crop_size=crop)
     # validation center-crops to the render size (no augmentation),
     # main.py's is_cropped=False eval path
@@ -518,23 +540,11 @@ def cmd_flow_infer(args) -> int:
     Weights come from --checkpoint (torch .pth) or from --workdir
     (a flow-train run's model_best/checkpoint msgpack); like the
     reference, inference without weights refuses to run."""
-    from vec_vad_tpu.flow.datasets import (
-        ChairsSDHom,
-        FlyingChairs,
-        MpiSintel,
-    )
     from vec_vad_tpu.flow.harness import FlowHarness
     from vec_vad_tpu.flow.trainer import FlowTrainer
 
     net = _make_flow_net(args.net)
-    makers = {
-        "MpiSintel": lambda root, **kw: MpiSintel(
-            root, dstype=args.dstype, **kw
-        ),
-        "FlyingChairs": FlyingChairs,
-        "ChairsSDHom": ChairsSDHom,
-    }
-    ds = makers[args.dataset](args.data_root)
+    ds = _flow_dataset_makers(args)[args.dataset](args.data_root)
 
     trainer = FlowTrainer(net)
     workdir = args.workdir or os.path.join(args.out or ".", "_flow_infer")
@@ -569,7 +579,15 @@ def cmd_flow_infer(args) -> int:
         params, ds, args.batch_size, save_dir=save_dir,
         n_batches=args.n_batches,
     )
-    print(f"inference EPE over {res['n']} samples: {res['epe']:.4f}")
+    if getattr(ds, "has_ground_truth", True):
+        print(f"inference EPE over {res['n']} samples: {res['epe']:.4f}")
+    else:
+        # zero-GT dataset: the 'EPE' is the mean predicted-flow norm,
+        # exactly what the reference's inference loop reports there
+        print(
+            f"mean predicted-flow norm over {res['n']} samples "
+            f"(no ground truth): {res['epe']:.4f}"
+        )
     if save_dir:
         print(f"flows written to {save_dir}")
     return 0
@@ -691,7 +709,7 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--flow-dtype", choices=("float32", "bfloat16"), default="float32",
-        help="--live-flow FlowNet forward dtype: bfloat16 is ~9% faster "
+        help="--live-flow FlowNet forward dtype: bfloat16 is ~9%% faster "
         "per frame and halves flow-weight HBM (scores shift by bf16 "
         "rounding)",
     )
@@ -746,7 +764,7 @@ def main(argv=None) -> int:
                    help="validation tree (default: --data-root)")
     p.add_argument(
         "--dataset", default="FlyingChairs",
-        choices=["FlyingChairs", "MpiSintel", "ChairsSDHom"],
+        choices=[d for d in _FLOW_DATASETS if d != "ImagesFromFolder"],
     )
     p.add_argument("--dstype", default="clean",
                    help="MpiSintel pass: clean | final")
@@ -786,10 +804,12 @@ def main(argv=None) -> int:
     p.add_argument("--data-root", required=True)
     p.add_argument(
         "--dataset", default="FlyingChairs",
-        choices=["FlyingChairs", "MpiSintel", "ChairsSDHom"],
+        choices=list(_FLOW_DATASETS),
     )
     p.add_argument("--dstype", default="clean",
                    help="MpiSintel pass: clean | final")
+    p.add_argument("--iext", default="png",
+                   help="ImagesFromFolder frame extension (png/jpg/...)")
     p.add_argument(
         "--net", default="FlowNet2",
         choices=["FlowNetC", "FlowNetS", "FlowNetSD",

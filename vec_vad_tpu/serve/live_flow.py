@@ -85,10 +85,9 @@ class FlowStreamingScorer(StreamingScorer):
         self.flow_net = flow_net
         self._flow_hw = tuple(flow_model_hw)
         self._flow_dtype = flow_compute_dtype
-        if flow_compute_dtype != jnp.float32:
-            flow_variables = jax.tree.map(
-                lambda l: jnp.asarray(l, flow_compute_dtype), flow_variables
-            )
+        from ..flow.driver import cast_flow_variables
+
+        flow_variables = cast_flow_variables(flow_variables, flow_compute_dtype)
         packed, self._fshapes, self._ftree = _pack_f32(
             flow_variables, dtype=flow_compute_dtype
         )
