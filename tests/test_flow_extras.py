@@ -218,3 +218,134 @@ def test_flow_trainer_on_sintel_geometry(tmp_path, rng):
     state = trainer.init_state(pairs)
     state, metrics = trainer.step(state, pairs, target)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def _flying_things_tree(tmp_path, rng, h=32, w=64, frames=3):
+    """Minimal FlyingThings3D-convention tree: 2 sequences x left/right
+    cameras, `frames` frames each, frames-1 into_future flows per camera
+    (FlowNet2_src/datasets.py:208-246 layout)."""
+    import cv2
+
+    from vec_vad_tpu.utils.flowviz import write_flo
+
+    root = tmp_path / "things"
+    for seq in ("A/0000", "A/0001"):
+        for cam in ("left", "right"):
+            idir = root / "frames_cleanpass" / "TRAIN" / seq / cam
+            fdir = (
+                root / "optical_flow_flo_format" / "TRAIN" / seq
+                / "into_future" / cam
+            )
+            idir.mkdir(parents=True)
+            fdir.mkdir(parents=True)
+            for i in range(frames):
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                cv2.imwrite(str(idir / f"{i:04d}.png"), img)
+                if i < frames - 1:
+                    fl = np.full((h, w, 2), float(i), np.float32)
+                    fl[..., 1] = hash(seq + cam) % 7
+                    write_flo(str(fdir / f"{i:04d}.flo"), fl)
+    return root
+
+
+def test_flying_things_dataset(tmp_path, rng):
+    """FlyingThings pairing rule: per camera dir, frame i pairs with i+1
+    against into_future flow i; Clean/Final select the pass subtree; an
+    image/flow camera-dir count mismatch raises at construction (the
+    reference asserts the same)."""
+    pytest.importorskip("cv2")
+    from vec_vad_tpu.flow.datasets import (
+        FlyingThings,
+        FlyingThingsClean,
+        FlyingThingsFinal,
+    )
+
+    root = _flying_things_tree(tmp_path, rng, frames=3)
+    ds = FlyingThingsClean(str(root))
+    # 2 seqs x 2 cams x (3 frames -> 2 pairs)
+    assert len(ds) == 8
+    pair, flow = ds[0]
+    assert pair.shape == (2, 32, 64, 3) and flow.shape == (32, 64, 2)
+    ds.validate()
+
+    # pairing + content roundtrip: triple order is sorted camera dirs,
+    # then frame index; flow u-component encodes the frame index
+    for t_img0, t_img1, t_flow in ds.triples:
+        i = int(os.path.basename(t_flow).split(".")[0])
+        assert os.path.basename(t_img0) == f"{i:04d}.png"
+        assert os.path.basename(t_img1) == f"{i + 1:04d}.png"
+    flows = [ds[i][1][0, 0, 0] for i in range(len(ds))]
+    assert sorted(set(flows)) == [0.0, 1.0]
+
+    # Final pass subtree absent -> no camera dirs vs 8 flow dirs
+    with pytest.raises(ValueError, match="inconsistent"):
+        FlyingThingsFinal(str(root))
+    # dstype dispatch sanity
+    assert len(FlyingThings(str(root), dstype="frames_cleanpass")) == 8
+
+
+def test_images_from_folder_dataset(tmp_path, rng):
+    """ImagesFromFolder: every consecutive pair of <root>/*.<iext>, zero
+    ground-truth flow (datasets.py:398-455 --inference mode)."""
+    cv2 = pytest.importorskip("cv2")
+    from vec_vad_tpu.flow.datasets import ImagesFromFolder
+
+    root = tmp_path / "frames"
+    root.mkdir()
+    for i in range(5):
+        img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / f"{i:03d}.png"), img)
+        cv2.imwrite(str(root / f"{i:03d}.jpg"), img)
+
+    ds = ImagesFromFolder(str(root))
+    assert len(ds) == 4 and not ds.has_ground_truth
+    ds.validate()
+    pair, flow = ds[2]
+    assert pair.shape == (2, 32, 48, 3)
+    np.testing.assert_array_equal(flow, 0.0)
+    # batches carry the zero flow through
+    x, t = next(ds.batches(batch_size=4, shuffle=False))
+    assert x.shape == (4, 32, 48, 6)
+    np.testing.assert_array_equal(t, 0.0)
+    assert len(ImagesFromFolder(str(root), iext="jpg")) == 4
+
+
+def test_flow_infer_cli_on_plain_folder(tmp_path, rng):
+    """`flow-infer --dataset ImagesFromFolder` runs a checkpointed net
+    over an arbitrary image folder and writes .flo predictions — the
+    reference's main.py --inference + ImagesFromFolder capability."""
+    cv2 = pytest.importorskip("cv2")
+    from test_flow_harness import TinyPyramidNet
+
+    from vec_vad_tpu import cli
+    from vec_vad_tpu.flow.harness import FlowHarness
+    from vec_vad_tpu.flow.trainer import FlowTrainer
+    from vec_vad_tpu.utils.flowviz import read_flo
+
+    root = tmp_path / "frames"
+    root.mkdir()
+    for i in range(4):
+        img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / f"{i:03d}.png"), img)
+
+    # build a loadable workdir checkpoint for the net the CLI constructs
+    workdir = str(tmp_path / "w")
+    net = cli._make_flow_net("FlowNetS")
+    trainer = FlowTrainer(net)
+    state = trainer.init_state(np.zeros((1, 64, 64, 6), np.float32), seed=0)
+    FlowHarness(trainer, workdir).save_checkpoint(
+        state, epoch=0, best_epe=1.0, is_best=True
+    )
+
+    out = str(tmp_path / "flows")
+    rc = cli.main([
+        "flow-infer", "--dataset", "ImagesFromFolder",
+        "--data-root", str(root), "--net", "FlowNetS",
+        "--workdir", workdir, "--batch-size", "2",
+        "--save-flow", "--out", out,
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    assert files == [f"{i:06d}.flo" for i in range(3)]
+    for f in files:
+        assert np.isfinite(read_flo(os.path.join(out, f))).all()

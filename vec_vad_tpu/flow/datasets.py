@@ -22,6 +22,16 @@ Layouts (the public dataset conventions the reference consumes):
   FlyingChairs:   <root>/*-img_0.ppm, *-img_1.ppm, *-flow.flo
                   (also the 05d_img1/img2/flow naming variant)
   ChairsSDHom:    <root>/<train|test>/t0/*.png, t1/*.png, flow/*.flo
+  FlyingThings:   <root>/<frames_cleanpass|frames_finalpass>/TRAIN/
+                      <letter>/<seq>/<left|right>/*.png
+                  <root>/optical_flow_flo_format/TRAIN/<letter>/<seq>/
+                      into_future/<left|right>/*.flo
+                  (FlowNet2_src/datasets.py:208-284: consecutive frames
+                  i, i+1 of each camera paired with into_future flow i)
+  ImagesFromFolder: <root>/*.<iext> — every consecutive frame pair of a
+                  plain image folder, ZERO ground-truth flow (the
+                  reference's --inference run-on-my-frames mode,
+                  FlowNet2_src/datasets.py:398-455)
 
 Loaders validate at construction (flow-header shape vs first image) and
 per sample (pair/flow agreement), raising informative errors instead of
@@ -67,6 +77,11 @@ class PairFlowDataset:
     is_cropped=True path). render_size: (h, w) StaticCenterCrop target when
     crop_size is None; None floors the probed frame size to /64 (no-op for
     already-divisible geometries like FlyingChairs' 384x512).
+
+    A triple's flow path may be None: the sample then carries ZERO flow of
+    the image geometry (the reference's ImagesFromFolder inference dataset
+    returns torch.zeros, FlowNet2_src/datasets.py:447-449) — useful only
+    for inference/EPE-less runs.
     """
 
     def __init__(
@@ -81,12 +96,13 @@ class PairFlowDataset:
         self.triples = triples
         probe = _imread(triples[0][0])
         self.frame_size = probe.shape[:2]
-        fh, fw = _flo_shape(triples[0][2])
-        if (fh, fw) != self.frame_size:
-            raise ValueError(
-                f"flow shape {(fh, fw)} != image shape {self.frame_size}: "
-                f"{triples[0][2]} vs {triples[0][0]}"
-            )
+        if triples[0][2] is not None:
+            fh, fw = _flo_shape(triples[0][2])
+            if (fh, fw) != self.frame_size:
+                raise ValueError(
+                    f"flow shape {(fh, fw)} != image shape "
+                    f"{self.frame_size}: {triples[0][2]} vs {triples[0][0]}"
+                )
         if crop_size is not None:
             th, tw = crop_size
             if th > self.frame_size[0] or tw > self.frame_size[1]:
@@ -134,6 +150,8 @@ class PairFlowDataset:
             for p in (p0, p1):
                 if not os.path.exists(p):
                     bad.append(f"missing image: {p}")
+            if pf is None:
+                continue
             try:
                 if _flo_shape(pf) != self.frame_size:
                     bad.append(
@@ -172,12 +190,15 @@ class PairFlowDataset:
                 f"image pair shapes disagree: {im0.shape} vs {im1.shape} "
                 f"({p0}, {p1})"
             )
-        flow = read_flo(pf)
-        if flow.shape[:2] != im0.shape[:2]:
-            raise ValueError(
-                f"flow shape {flow.shape[:2]} != image shape "
-                f"{im0.shape[:2]} ({pf})"
-            )
+        if pf is None:
+            flow = np.zeros(im0.shape[:2] + (2,), np.float32)
+        else:
+            flow = read_flo(pf)
+            if flow.shape[:2] != im0.shape[:2]:
+                raise ValueError(
+                    f"flow shape {flow.shape[:2]} != image shape "
+                    f"{im0.shape[:2]} ({pf})"
+                )
         pair, flow = self._crop(np.stack([im0, im1]), flow)
         return pair, flow
 
@@ -242,3 +263,80 @@ class ChairsSDHom(PairFlowDataset):
             if os.path.exists(t1) and os.path.exists(fl):
                 triples.append((t0, t1, fl))
         super().__init__(triples, **kw)
+
+
+class FlyingThings(PairFlowDataset):
+    """FlyingThings3D subset trees (FlowNet2_src/datasets.py:208-284).
+
+    Camera dirs <root>/<dstype>/TRAIN/<letter>/<seq>/{left,right} pair
+    frame i with i+1; the matching into_future flow lives at
+    <root>/optical_flow_flo_format/TRAIN/<letter>/<seq>/into_future/
+    {left,right}/<i>.flo. The reference zips image dirs with flow dirs by
+    sorted order and iterates over len(flows) — each camera's LAST frame
+    has no into_future flow file, so it only ever appears as a pair's
+    second image. Cameras whose flow dir is missing are an inconsistent
+    tree (the reference asserts the dir counts match); we raise the same
+    way via the zip-length check below.
+    """
+
+    def __init__(self, root: str, dstype: str = "frames_cleanpass", **kw):
+        image_dirs = sorted(
+            d
+            for seq in glob.glob(os.path.join(root, dstype, "TRAIN", "*", "*"))
+            for d in (os.path.join(seq, "left"), os.path.join(seq, "right"))
+            if os.path.isdir(d)
+        )
+        flow_dirs = sorted(
+            d
+            for seq in glob.glob(
+                os.path.join(root, "optical_flow_flo_format", "TRAIN", "*", "*")
+            )
+            for d in (
+                os.path.join(seq, "into_future", "left"),
+                os.path.join(seq, "into_future", "right"),
+            )
+            if os.path.isdir(d)
+        )
+        if len(image_dirs) != len(flow_dirs):
+            raise ValueError(
+                f"inconsistent FlyingThings tree: {len(image_dirs)} camera "
+                f"dirs under {dstype} vs {len(flow_dirs)} flow dirs"
+            )
+        triples = []
+        for idir, fdir in zip(image_dirs, flow_dirs):
+            images = sorted(glob.glob(os.path.join(idir, "*.png")))
+            flows = sorted(glob.glob(os.path.join(fdir, "*.flo")))
+            if flows and len(images) < len(flows) + 1:
+                raise ValueError(
+                    f"{idir}: {len(images)} frames cannot pair with "
+                    f"{len(flows)} into_future flows"
+                )
+            for i in range(len(flows)):
+                triples.append((images[i], images[i + 1], flows[i]))
+        super().__init__(triples, **kw)
+
+
+class FlyingThingsClean(FlyingThings):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="frames_cleanpass", **kw)
+
+
+class FlyingThingsFinal(FlyingThings):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="frames_finalpass", **kw)
+
+
+class ImagesFromFolder(PairFlowDataset):
+    """Every consecutive pair of <root>/*.<iext>, zero ground-truth flow —
+    the reference's run-a-flow-net-over-my-frames inference mode
+    (FlowNet2_src/datasets.py:398-455). EPE against the zero flow is
+    meaningless; flow-infer skips its EPE report for this dataset."""
+
+    def __init__(self, root: str, iext: str = "png", **kw):
+        images = sorted(glob.glob(os.path.join(root, "*." + iext)))
+        triples = [(a, b, None) for a, b in zip(images[:-1], images[1:])]
+        super().__init__(triples, **kw)
+
+    @property
+    def has_ground_truth(self) -> bool:
+        return False
