@@ -95,3 +95,61 @@ def test_load_pixel_masks_ped_layout(tmp_path):
 
     with pytest.raises(ValueError):
         load_pixel_masks("ShanghaiTech", root, index)
+
+
+def test_device_reduction_matches_host_loop():
+    """The chunked device sort path (VERDICT r4 item 5) is element-exact
+    vs the np.partition host loop, including frames whose GT region is a
+    single pixel, all-normal batches, chunk-boundary tails, and coverage
+    values that make k hit |GT| exactly."""
+    rng = np.random.default_rng(7)
+    n, h, w = 37, 10, 14  # n not a multiple of the device chunk
+    scores = rng.normal(size=(n, h, w)).astype(np.float32)
+    gt = np.zeros((n, h, w), bool)
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            continue  # normal frame
+        if kind == 1:
+            gt[i, rng.integers(0, h), rng.integers(0, w)] = True  # 1 px
+        elif kind == 2:
+            gt[i, 2:7, 3:9] = True
+        else:
+            gt[i] = True  # whole-frame GT
+    for cov in (0.05, 0.4, 1.0):
+        s_host, l_host = pixel_level_scalars(scores, gt, cov, device=False)
+        s_dev, l_dev = pixel_level_scalars(scores, gt, cov, device=True)
+        np.testing.assert_array_equal(l_host, l_dev)
+        np.testing.assert_array_equal(s_host, s_dev)
+
+    # all-normal batch (labels all zero -> every scalar is the frame max)
+    gt0 = np.zeros((5, h, w), bool)
+    s_host, _ = pixel_level_scalars(scores[:5], gt0, device=False)
+    s_dev, _ = pixel_level_scalars(scores[:5], gt0, device=True)
+    np.testing.assert_array_equal(s_host, s_dev)
+
+
+def test_device_reduction_sht_geometry():
+    """SHT-geometry masks (480x856) through the device route — the
+    auto-router sends real SHT-scale evaluation here; parity checked on a
+    subsample of frames against the host loop."""
+    from vec_vad_tpu.eval import metrics
+
+    rng = np.random.default_rng(11)
+    n, h, w = 48, 480, 856
+    scores = (rng.normal(size=(n, h, w)) ** 2).astype(np.float32)
+    gt = np.zeros((n, h, w), bool)
+    for i in range(0, n, 3):
+        y, x = rng.integers(0, h - 60), rng.integers(0, w - 80)
+        gt[i, y : y + 60, x : x + 80] = True
+
+    s_dev, l_dev = pixel_level_scalars(scores, gt, device=True)
+    sub = [0, 1, 3, 17, 31, 32, 47]  # spans chunk boundaries + tail
+    s_host, l_host = pixel_level_scalars(scores[sub], gt[sub], device=False)
+    np.testing.assert_array_equal(s_dev[sub], s_host)
+    np.testing.assert_array_equal(l_dev[sub], l_host)
+
+    # the auto-router picks the device path at this footprint scaled to
+    # full SHT frame counts (size >= threshold), host below
+    assert n * h * w < metrics._PIXEL_DEVICE_THRESHOLD  # this fixture: host
+    assert 40000 * h * w >= metrics._PIXEL_DEVICE_THRESHOLD  # real SHT: device

@@ -174,10 +174,65 @@ def save_roc_pr_curve_data(
 # Pixel-level criterion
 # ---------------------------------------------------------------------------
 
+# above this many total pixels the per-frame host loop (np.partition per
+# frame) would dominate evaluation wall time; route through the chunked
+# device reduction instead. ped2-scale (2010 x 240x360 = 1.7e8) stays on
+# host; SHT-scale (40k x 480x856 = 1.6e10) goes to device.
+_PIXEL_DEVICE_THRESHOLD = 1 << 29
+# frames per device call: bounds the (chunk, H*W) f32 sort workspace to
+# ~50-200 MB at SHT geometry
+_PIXEL_DEVICE_CHUNK = 32
+
+
+def _pixel_scalars_device(
+    flat: np.ndarray, gt_flat: np.ndarray, coverage: float
+) -> np.ndarray:
+    """Device twin of the pixel_level_scalars reduction: one masked
+    descending sort + per-row k-th-element gather per frame chunk.
+
+    Exact (not approximate) vs the host np.partition path: both select an
+    actual element of the frame, and selection-by-value is order-exact in
+    f32. Anomalous frames mask non-GT pixels to -inf so the k-th largest
+    of the sorted row IS the k-th largest inside the GT region
+    (k = ceil(coverage*|GT|) <= |GT|, so the gather never reaches the
+    -inf tail); normal frames keep the full row and take k=1 (the max).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chunk_fn(s, g):
+        cnt = g.sum(axis=-1)
+        lab = cnt > 0
+        k = jnp.where(
+            lab, jnp.ceil(coverage * cnt).astype(jnp.int32), 1
+        )
+        k = jnp.clip(k, 1, jnp.maximum(cnt, 1))
+        masked = jnp.where(lab[:, None] & ~g, -jnp.inf, s)
+        top = -jnp.sort(-masked, axis=-1)
+        return jnp.take_along_axis(
+            top, (k - 1)[:, None], axis=-1, mode="clip"
+        )[:, 0]
+
+    n = flat.shape[0]
+    c = _PIXEL_DEVICE_CHUNK
+    out = np.empty(n, np.float64)
+    for lo in range(0, n, c):
+        s = flat[lo : lo + c].astype(np.float32)
+        g = gt_flat[lo : lo + c]
+        if s.shape[0] < c:  # pad the tail so the jit compiles once
+            pad = c - s.shape[0]
+            s = np.concatenate([s, np.zeros((pad,) + s.shape[1:], s.dtype)])
+            g = np.concatenate([g, np.zeros((pad,) + g.shape[1:], bool)])
+        out[lo : lo + c] = np.asarray(chunk_fn(s, g))[: min(c, n - lo)]
+    return out
+
+
 def pixel_level_scalars(
     score_masks: np.ndarray,
     gt_masks: np.ndarray,
     coverage: float = 0.4,
+    device: "Optional[bool]" = None,
 ) -> "tuple[np.ndarray, np.ndarray]":
     """Reduce per-pixel score masks to per-frame scalars implementing the
     standard VAD pixel-level criterion (Mahadevan et al., CVPR'10; the
@@ -195,6 +250,11 @@ def pixel_level_scalars(
 
     The pixel-level ROC is then the ordinary score ROC over these scalars.
     Returns (scalars, labels).
+
+    device=None auto-routes: above _PIXEL_DEVICE_THRESHOLD total pixels
+    (SHT-scale evaluation) the reduction runs as chunked device sorts
+    (_pixel_scalars_device, element-exact vs this loop); below, the host
+    np.partition loop wins (no transfer, no compile).
     """
     score_masks = np.asarray(score_masks, np.float64)
     gt = np.asarray(gt_masks) > 0
@@ -202,8 +262,15 @@ def pixel_level_scalars(
     if gt.shape[0] != n:
         raise ValueError(f"{n} score masks vs {gt.shape[0]} GT masks")
     labels = gt.reshape(n, -1).any(axis=1).astype(np.int64)
-    scalars = np.empty(n, np.float64)
     flat = score_masks.reshape(n, -1)
+    if device is None:
+        device = flat.size >= _PIXEL_DEVICE_THRESHOLD
+    if device:
+        return (
+            _pixel_scalars_device(flat, gt.reshape(n, -1), coverage),
+            labels,
+        )
+    scalars = np.empty(n, np.float64)
     for i in range(n):
         if labels[i]:
             region = flat[i][gt[i].reshape(-1)]
