@@ -383,6 +383,7 @@ def cmd_calc_flow(args) -> int:
         cfg, args.base, checkpoint=args.checkpoint, splits=splits,
         resident=args.resident, segment_frames=args.segment_frames or None,
         chunk=args.chunk or None, flow_dtype=args.flow_dtype,
+        use_mesh=not args.no_mesh,
     )
     return 0
 
@@ -741,6 +742,11 @@ def main(argv=None) -> int:
         "--chunk", type=int, default=0,
         help="frame pairs per FlowNet batch (0 = per-dtype optimum: "
         "4 f32, 8 bf16)",
+    )
+    p.add_argument(
+        "--no-mesh", action="store_true",
+        help="disable the automatic data-parallel pair sharding over "
+        "multi-device meshes (outputs are identical either way)",
     )
     p.set_defaults(fn=cmd_calc_flow)
 

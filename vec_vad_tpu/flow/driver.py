@@ -82,6 +82,80 @@ def _make_run_chunk(net, C: int, H: int, W: int, mh: int, mw: int,
     return run_chunk
 
 
+def _make_run_pairs(net, C, H, W, mh, mw, compute_dtype, mesh=None,
+                    axis: str = "data"):
+    """The whole-batch flow program shared by the resident and segmented
+    paths: (v, frames, i1, i2) -> flow for every indexed pair, lax.map
+    over chunk groups (one device execution, no per-chunk dispatch).
+
+    mesh=None (or a 1-device mesh — sharding a 1-device mesh costs 10x
+    per scan step on this backend, see CLAUDE.md) runs single-device with
+    i1/i2 shaped (steps, chunk). A >1-device mesh runs DATA-PARALLEL over
+    the pair axis with i1/i2 shaped (n_dev, steps, chunk): shard_map over
+    `axis`, each device executing the SAME sequential chunk scan on its
+    own slice with frames and weights replicated — zero collectives, the
+    same shard-the-embarrassing-axis design as GridTrainer. calc-flow is
+    the heaviest offline stage (4560 maps at ped2 scale); maps/s scales
+    ~n_dev because each FlowNet2 forward is independent.
+
+    Returns (jitted_fn, n_dev or None). The reference's driver is a
+    single-GPU batch=1 loop (calc_optical_flow.py:25-85); its training
+    harness reached multi-GPU only via DataParallel (FlowNet2_src/
+    main.py:211-214) — this is the serving-side equivalent on the mesh.
+    """
+    run_chunk = _make_run_chunk(net, C, H, W, mh, mw, compute_dtype)
+
+    def seq(v, fwin, i1, i2):
+        def one(args):
+            a, b = args
+            return run_chunk(
+                v,
+                jnp.take(fwin, a, axis=0, mode="clip"),
+                jnp.take(fwin, b, axis=0, mode="clip"),
+            )
+
+        return jax.lax.map(one, (i1, i2))
+
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(seq), None
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def body(v, fwin, i1, i2):
+        # local shapes: i1/i2 (1, steps, chunk) — one device's pair slice
+        return seq(v, fwin, i1[0], i2[0])[None]
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return jax.jit(fn), int(mesh.devices.size)
+
+
+def _pair_index_groups(first, second, sel, chunk, n_dev=None):
+    """Reshape flat pair indices (already padded via `sel`) into the
+    (steps, chunk) or (n_dev, steps, chunk) layout _make_run_pairs
+    expects."""
+    i1, i2 = first[sel].astype(np.int32), second[sel].astype(np.int32)
+    if n_dev is None:
+        return (
+            jnp.asarray(i1.reshape(-1, chunk)),
+            jnp.asarray(i2.reshape(-1, chunk)),
+        )
+    steps = sel.size // (n_dev * chunk)
+    return (
+        jnp.asarray(i1.reshape(n_dev, steps, chunk)),
+        jnp.asarray(i2.reshape(n_dev, steps, chunk)),
+    )
+
+
 def cast_flow_variables(variables, compute_dtype):
     """Cast the float leaves of a FlowNet variable pytree to
     `compute_dtype` (non-float leaves untouched). One-time, outside jit —
@@ -106,6 +180,7 @@ def compute_optical_flow(
     model_hw: Tuple[int, int] = (384, 512),
     resident: bool = False,
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> np.ndarray:
     """Dense flow for every frame of a split: (N, H, W, 2) float32.
 
@@ -120,37 +195,34 @@ def compute_optical_flow(
     Hardware: 2.1x maps/s at the 384x512 protocol with chunk=8 vs the
     f32 chunk=4 default (PROFILE.md §5). Flow values shift by bf16
     rounding — keep f32 where reference score parity matters.
+
+    mesh (resident path only): a >1-device jax.sharding.Mesh runs the
+    pair axis data-parallel (see _make_run_pairs) — outputs identical to
+    the 1-device run, maps/s ~x n_devices.
     """
     n, H, W, C = frames.shape
     first, second = flow_pair_indices(index)
     mh, mw = model_hw
     variables = cast_flow_variables(variables, compute_dtype)
-    run_chunk = _make_run_chunk(net, C, H, W, mh, mw, compute_dtype)
 
     frames_j = frames if isinstance(frames, jax.Array) else jnp.asarray(
         np.asarray(frames)
     )
 
     if resident:
-        n_pad = -(-n // chunk) * chunk
+        run_all, n_dev = _make_run_pairs(
+            net, C, H, W, mh, mw, compute_dtype, mesh=mesh
+        )
+        group = chunk * (n_dev or 1)
+        n_pad = -(-n // group) * group
         sel = np.concatenate([np.arange(n), np.full(n_pad - n, n - 1)])
-        i1 = jnp.asarray(first[sel]).reshape(n_pad // chunk, chunk)
-        i2 = jnp.asarray(second[sel]).reshape(n_pad // chunk, chunk)
-
-        @jax.jit
-        def run_all(v, fj, i1, i2):
-            def one(args):
-                a, b = args
-                return run_chunk(
-                    v, jnp.take(fj, a, axis=0, mode="clip"), jnp.take(fj, b, axis=0, mode="clip")
-                )
-
-            return jax.lax.map(one, (i1, i2))
-
+        i1, i2 = _pair_index_groups(first, second, sel, chunk, n_dev)
         flow = np.asarray(run_all(variables, frames_j, i1, i2))
         return flow.reshape(n_pad, H, W, 2)[:n]
 
-    run_chunk_j = jax.jit(run_chunk)
+    run_chunk_j = jax.jit(
+        _make_run_chunk(net, C, H, W, mh, mw, compute_dtype)
+    )
     out = np.empty((n, H, W, 2), np.float32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
@@ -174,6 +246,7 @@ def compute_optical_flow_segmented(
     chunk: int = 4,
     model_hw: Tuple[int, int] = (384, 512),
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> int:
     """Memory-bounded flow precomputation for beyond-HBM/RAM splits.
 
@@ -193,25 +266,22 @@ def compute_optical_flow_segmented(
     segment pads to the same static shape so the program compiles ONCE.
     `frames` is any array-like supporting `[lo:hi]` (data.readers.
     LazyFrameStack decodes on slice). Returns the number of frames written.
+
+    mesh: a >1-device jax.sharding.Mesh runs each segment's pair axis
+    data-parallel (see _make_run_pairs) — same outputs, each segment's
+    wall divided by ~n_devices.
     """
     n = index.total_frames
     H, W = frames.shape[1], frames.shape[2]
     C = frames.shape[3] if len(frames.shape) == 4 else 1
     first, second = flow_pair_indices(index)
     mh, mw = model_hw
-    S = -(-segment_frames // chunk) * chunk
     variables = cast_flow_variables(variables, compute_dtype)
-    run_chunk = _make_run_chunk(net, C, H, W, mh, mw, compute_dtype)
-
-    @jax.jit
-    def run_seg(v, fwin, i1, i2):
-        def one(args):
-            a, b = args
-            return run_chunk(
-                v, jnp.take(fwin, a, axis=0, mode="clip"), jnp.take(fwin, b, axis=0, mode="clip")
-            )
-
-        return jax.lax.map(one, (i1, i2))
+    run_seg, n_dev = _make_run_pairs(
+        net, C, H, W, mh, mw, compute_dtype, mesh=mesh
+    )
+    group = chunk * (n_dev or 1)
+    S = -(-segment_frames // group) * group
 
     for lo in range(0, n, S):
         hi = min(lo + S, n)
@@ -226,11 +296,11 @@ def compute_optical_flow_segmented(
         sel = np.concatenate(
             [np.arange(lo, hi), np.full(S - (hi - lo), hi - 1)]
         )
-        i1 = (first[sel] - w0).reshape(S // chunk, chunk).astype(np.int32)
-        i2 = (second[sel] - w0).reshape(S // chunk, chunk).astype(np.int32)
+        i1, i2 = _pair_index_groups(
+            first - w0, second - w0, sel, chunk, n_dev
+        )
         flow = np.asarray(
-            run_seg(variables, jnp.asarray(wpad), jnp.asarray(i1),
-                    jnp.asarray(i2))
+            run_seg(variables, jnp.asarray(wpad), i1, i2)
         ).reshape(S, H, W, 2)
         for k in range(hi - lo):
             write(lo + k, flow[k])

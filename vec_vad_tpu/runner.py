@@ -351,6 +351,7 @@ def run_calc_flow(
     memory_budget_bytes: float = 4e9,
     max_whole_split_frames: int = 512,
     flow_dtype: str = "float32",
+    use_mesh: bool = True,
 ) -> None:
     """Precompute the optical-flow tree with FlowNet2
     (calc_optical_flow.py equivalent). resident=True computes each
@@ -374,7 +375,15 @@ def run_calc_flow(
     the batch default bumped to 8 (chunk=None picks 4 for f32, 8 for
     bf16 — the measured per-geometry optima, PROFILE.md §5). Flow values
     shift by bf16 rounding; keep float32 when reproducing reference
-    scores bit-for-bit matters more than speed."""
+    scores bit-for-bit matters more than speed.
+
+    use_mesh=True (default) runs the FlowNet forwards data-parallel over
+    ALL visible devices when more than one is present (flow.driver
+    _make_run_pairs: the pair axis shard_mapped over a 1-D mesh, zero
+    collectives, outputs identical to single-device) — calc-flow is the
+    heaviest offline stage and scales embarrassingly. Single-device runs
+    are untouched (no sharding annotations; they cost 10x on a 1-device
+    mesh here)."""
     import jax
     import jax.numpy as jnp
 
@@ -385,6 +394,13 @@ def run_calc_flow(
         save_flow_tree,
     )
     from vec_vad_tpu.models.flownet import FlowNet2, load_flownet2_checkpoint
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1:
+        from vec_vad_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
+        print(f"calc-flow: data-parallel over {mesh.devices.size} devices")
 
     chunk = chunk if chunk is not None else (
         8 if flow_dtype == "bfloat16" else 4
@@ -418,6 +434,7 @@ def run_calc_flow(
             compute_optical_flow_segmented(
                 net, variables, index, lazy, write,
                 segment_frames=seg, chunk=chunk, compute_dtype=flow_dtype,
+                mesh=mesh,
             )
             print(
                 f"{split}: wrote {n} flow maps to {of_root} "
@@ -428,6 +445,7 @@ def run_calc_flow(
             flow = compute_optical_flow(
                 net, variables, index, frames, chunk=chunk,
                 resident=resident, compute_dtype=flow_dtype,
+                mesh=mesh if resident else None,
             )
             save_flow_tree(flow, index, of_root, root)
             print(f"{split}: wrote {flow.shape[0]} flow maps to {of_root}")
