@@ -91,3 +91,39 @@ def test_standard_shape_list_matches_unet():
     # channel progression f..8f and symmetric decoder
     assert UNET_CONV_SHAPES[0][1:] == (32, 12, 32)
     assert UNET_CONV_SHAPES[7][1:] == (4, 256, 256)
+
+
+def test_timed_scan_rescales_subfloor_probes(monkeypatch):
+    """The honest-measurement gate (VERDICT r4 item 8): a probe whose
+    whole timed run finishes under min_wall_s measures the relay RTT,
+    not the op (round 4: a '0.23 ms/iteration floor regardless of
+    FLOPs' was the LINK) — timed_scan must rebuild it with more
+    iterations until wall >= the floor (or max_iters)."""
+    import vec_vad_tpu.runtime.layer_profile as lp
+
+    iters_seen = []
+    orig = lp._time_scalar_fn
+
+    def spy(run, args, flops_once, iters, repeats):
+        iters_seen.append(iters)
+        return orig(run, args, flops_once, iters, repeats)
+
+    monkeypatch.setattr(lp, "_time_scalar_fn", spy)
+    x = jnp.ones((8,), jnp.float32)
+    max_iters = 50_000
+    ms, _ = lp.timed_scan(
+        lambda x: x * 2.0, (x,), 0.0, iters=2, repeats=1,
+        min_wall_s=0.05, max_iters=max_iters,
+    )
+    # the sub-floor probe was re-run with strictly more iterations...
+    assert len(iters_seen) >= 2 and iters_seen[-1] > iters_seen[0]
+    # ...until the wall cleared the floor (or the iteration cap)
+    wall = ms * iters_seen[-1] / 1e3
+    assert wall >= 0.04 or iters_seen[-1] == max_iters
+
+    # min_wall_s=0 disables rescaling (the CPU-unit-test escape hatch)
+    iters_seen.clear()
+    lp.timed_scan(
+        lambda x: x * 2.0, (x,), 0.0, iters=2, repeats=1, min_wall_s=0.0
+    )
+    assert iters_seen == [2]
