@@ -810,3 +810,80 @@ def test_motion_streaming_ap_merge():
     np.testing.assert_allclose(
         np.asarray(streamed, np.float32), offline, rtol=2e-4, atol=2e-4
     )
+
+
+def test_time_device_step_probes():
+    """The serving device-time twins (bench's link-weather separators,
+    VERDICT r4 item 1c) run, return positive ms, and leave the scorer
+    functional after a start_video() reset — for the plain streaming
+    step, the fleet tick, and the live-flow fused step."""
+    from vec_vad_tpu.serve import FlowStreamingScorer, MultiCameraScorer
+
+    ds, cfg, model = _train_tiny(use_flow=False, seed=5)
+    te_idx = VideoIndex(["a", "b"], ds.test_video_lengths)
+
+    scorer = StreamingScorer.from_model(model)
+    scorer.start_video()
+    for i in range(3):
+        scorer.push(ds.test_frames[i], ds.test_boxes[i])
+    ms = scorer.time_device_step(
+        ds.test_frames[0], ds.test_boxes[0], k=3, repeats=2
+    )
+    assert ms > 0.0
+    scorer.start_video()
+    s = scorer.push(ds.test_frames[0], ds.test_boxes[0])
+    assert np.isfinite(s)
+
+    mcs = MultiCameraScorer.from_model(model, n_cameras=2)
+    mcs.start_video()
+    frames2 = ds.test_frames[:2]
+    boxes2 = [ds.test_boxes[0], ds.test_boxes[1]]
+    mcs.push_tick(frames2, boxes2)
+    ms = mcs.time_device_tick(frames2, boxes2, k=3, repeats=2)
+    assert ms > 0.0
+    mcs.start_video()
+    assert mcs.push_tick(frames2, boxes2) is not None
+
+    # live-flow twin (tiny flow net; full FlowNet2 costs seconds/step on
+    # one CPU core)
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    class TinyFlow(nn.Module):
+        @nn.compact
+        def __call__(self, pairs, train: bool = False):
+            x = jnp.concatenate([pairs[:, 0], pairs[:, 1]], axis=-1) / 255.0
+            return nn.Conv(2, (3, 3), padding="SAME")(x)
+
+    fnet = TinyFlow()
+    fvars = fnet.init(jax.random.key(0), jnp.zeros((1, 2, 16, 16, 3)))
+    blk = model.blocks[(0, 0, 0)]
+    cfg2 = PipelineConfig(
+        dataset_name=cfg.dataset_name, fore=cfg.fore,
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+        ),
+    )
+    from vec_vad_tpu.models.completion import make_completion_net
+
+    net2 = make_completion_net(cfg2.model)
+    P = cfg2.fore.patch_size
+    v2 = net2.init(
+        jax.random.key(0),
+        np.zeros((1, P, P, cfg2.model.tot_raw_num * 3), np.float32),
+        np.zeros((1, P, P, cfg2.model.tot_of_num * 2), np.float32),
+        False,
+    )
+    lf = FlowStreamingScorer(
+        cfg2, v2, (100.0, 30.0, 1.0, 1.0),
+        flow_net=fnet, flow_variables=fvars, flow_model_hw=(16, 16),
+        net=net2, max_boxes=cfg2.fore.max_boxes_per_frame,
+    )
+    lf.start_video()
+    for i in range(3):
+        lf.push(ds.test_frames[i], ds.test_boxes[i])
+    ms = lf.time_device_step(ds.test_frames[0], ds.test_boxes[0],
+                             k=2, repeats=2)
+    assert ms > 0.0
+    del blk, te_idx

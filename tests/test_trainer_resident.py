@@ -198,3 +198,34 @@ def test_flow_config_without_flow_trains_raw_only():
     for b in blocks.values():
         assert b.of_scores is None and b.of_stats is None
         assert np.isfinite(b.raw_scores).all()
+
+
+def test_fit_block_budget_phases(rng):
+    """fit_block_budget (VERDICT r4 item 2) itemizes the resident fit's
+    wall into the documented phases, every phase positive, the total
+    consistent, and the measured trajectory identical to fit_block's
+    (same seed -> same schedule -> same scores)."""
+    cfg = CompletionConfig(
+        nf=4, epochs=2, batch_size=16, context_of_num=0, use_flow=False
+    )
+    net = make_completion_net(cfg)
+    trainer = BlockTrainer(net, cfg, get_mesh(), patch_size=16)
+    raw = rng.integers(0, 256, (40, 16, 16, 15)).astype(np.uint8)
+
+    budget = trainer.fit_block_budget(raw, None, seed=3)
+    phases = (
+        "init_state_s", "schedule_host_s", "upload_s", "train_scan_s",
+        "score_pass_s", "param_download_s",
+    )
+    assert set(budget) == set(phases) | {"total_s"}
+    for p in phases:
+        assert budget[p] >= 0.0
+    assert abs(budget["total_s"] - sum(budget[p] for p in phases)) < 1e-9
+    # the budget run IS a fit_block (same path, same order): its final
+    # state reproduces fit_block's training scores for the same seed
+    blk = trainer.fit_block(raw, None, seed=3)
+    state = trainer.init_state(3)
+    rng2 = np.random.default_rng(3)
+    state, _, _ = trainer._fit_resident(state, raw, None, rng2, 0)
+    r, _ = trainer.score_block(state, raw, None)
+    np.testing.assert_allclose(r, blk.raw_scores, rtol=1e-6)

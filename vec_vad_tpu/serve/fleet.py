@@ -198,6 +198,61 @@ class MultiCameraScorer(StreamingScorer):
             return None  # pipeline still filling
         return self._finish_tick(*self._pending.popleft())
 
+    def time_device_tick(
+        self, frames: np.ndarray, boxes_list,
+        k: int = 32, repeats: int = 3,
+    ) -> float:
+        """Device-time twin of push_tick(): ms/tick for the jitted fleet
+        step alone — args pre-staged in HBM, k executions chained through
+        the donated rings, one final download. Same protocol and purpose
+        as StreamingScorer.time_device_step (separates device regressions
+        from link weather in bench artifacts); perturbs the rings, so
+        start_video() before resuming real scoring."""
+        import time as _time
+
+        frames = np.asarray(frames, np.uint8)
+        if self.gray_stream and frames.ndim == 4:
+            frames = frames[..., 0]
+        self._ensure_rings(*frames.shape[1:3])
+        ctrls = np.zeros((self.C, 2 + self.R + self.R_of), np.int32)
+        boxes_pad = np.zeros((self.C, self.K, 4), np.float32)
+        for c in range(self.C):
+            pos = self._tick - self._cam_v0[c]
+            b = np.asarray(boxes_list[c], np.float32).reshape(-1, 4)
+            boxes_pad[c, : b.shape[0]] = b
+            ctrls[c, 0] = self._tick % self.R
+            ctrls[c, 2 : 2 + self.R] = (
+                self._cam_v0[c] + _predict_window(pos, self.ctx)
+            ) % self.R
+            if self.use_flow:
+                ctrls[c, 1] = self._tick % self.R_of
+                ctrls[c, 2 + self.R :] = (
+                    self._cam_v0[c] + _predict_window(pos, self.ctx_of)
+                ) % self.R_of
+        flow_in = np.zeros(
+            (self.C,) + (frames.shape[1:3] if self.use_flow else (1, 1))
+            + (2,), np.float32,
+        )
+        staged = [
+            jax.device_put(a) for a in (frames, flow_in, ctrls, boxes_pad)
+        ]
+        jax.block_until_ready(staged)
+        r, fr, outs = self._step_tick(
+            self._ring, self._flow_ring, *staged, *self._weight_args
+        )
+        jax.block_until_ready(outs)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                r, fr, outs = self._step_tick(
+                    r, fr, *staged, *self._weight_args
+                )
+            np.asarray(jax.tree.leaves(outs)[0])
+            best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
+        self._ring, self._flow_ring = r, fr
+        return best
+
     def _ensure_rings(self, h: int, w: int) -> None:
         if self._ring is not None:
             return

@@ -277,6 +277,45 @@ class FlowStreamingScorer(StreamingScorer):
             return None
         return self._finish(*self._pending.popleft())
 
+    def time_device_step(
+        self, frame: np.ndarray, boxes: np.ndarray,
+        k: int = 16, repeats: int = 3,
+    ) -> float:
+        """Device-time twin of the live-flow push(): same protocol as
+        StreamingScorer.time_device_step (args pre-staged in HBM, k
+        chained executions through the donated rings, one download), for
+        the fused flow+score step — overridden because step_flow's
+        signature carries the flow weights instead of a flow-map input.
+        Perturbs the rings; start_video() before resuming."""
+        import time as _time
+
+        frame = self._norm_frame(frame)
+        boxes_pad, _ = self._pad_boxes(boxes)
+        self._ensure_rings(*frame.shape[:2])
+        pos = max(self._n_pushed - self._v0, 2)
+        ctrl = self._flow_ctrl(
+            tpos=pos - 1, slot=self._n_pushed % self._rlen,
+            prev_slot=(self._n_pushed - 1) % self._rlen, wflag=1,
+        )
+        staged = [jax.device_put(a) for a in (frame, ctrl, boxes_pad)]
+        jax.block_until_ready(staged)
+        r, fr, out = self._step_flow(
+            self._ring, self._flow_ring, *staged,
+            self._flow_arg, *self._weight_args,
+        )
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                r, fr, out = self._step_flow(
+                    r, fr, *staged, self._flow_arg, *self._weight_args
+                )
+            np.asarray(jax.tree.leaves(out)[0])
+            best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
+        self._ring, self._flow_ring = r, fr
+        return best
+
     def end_video(self) -> Optional[float]:
         """Flush the current video's last frame: its flow pair is only
         known now — flow(N-2 -> N-1) for N >= 3, the degenerate (f0, f0)

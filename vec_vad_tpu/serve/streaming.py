@@ -459,6 +459,62 @@ class StreamingScorer:
             for j in range(k)
         ]
 
+    def time_device_step(
+        self, frame: np.ndarray, boxes: np.ndarray,
+        k: int = 64, repeats: int = 3,
+    ) -> float:
+        """Device-time twin of push(): ms/frame for the jitted per-frame
+        step alone, with every argument pre-staged in HBM, k executions
+        chained on the device stream (donated rings threaded), and ONE
+        download forcing the final out (in-order execution bounds all k).
+
+        Excludes what link weather owns — host marshaling, the per-frame
+        upload, and the per-push result round trip — so a bench artifact
+        can tell a device regression from a bad tunnel day (the honest-
+        measurement protocol of runtime/layer_profile.py applied to the
+        serving step; a k*step wall >= ~300 ms keeps the residual RTT
+        under a few percent). PERTURBS the ring (writes the probe frame
+        k times): call start_video() before resuming real scoring."""
+        import time as _time
+
+        frame = np.asarray(frame, np.uint8)
+        if self.gray_stream and frame.ndim == 3:
+            frame = frame[..., 0]
+        self._ensure_rings(*frame.shape[:2])
+        pos = self._n_pushed - self._v0
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        boxes_pad = np.zeros((self.K, 4), np.float32)
+        boxes_pad[: b.shape[0]] = b
+        win = (self._v0 + _predict_window(pos, self.ctx)) % self.R
+        if self.use_flow:
+            owin = (self._v0 + _predict_window(pos, self.ctx_of)) % self.R_of
+            flow_in = np.zeros(frame.shape[:2] + (2,), np.float32)
+        else:
+            owin = np.zeros(self.R_of, np.int64)
+            flow_in = np.zeros((1, 1, 2), np.float32)
+        ctrl = np.concatenate(
+            [[self._n_pushed % self.R, self._n_pushed % self.R_of],
+             win, owin]
+        ).astype(np.int32)
+
+        staged = [
+            jax.device_put(a) for a in (frame, flow_in, ctrl, boxes_pad)
+        ]
+        jax.block_until_ready(staged)
+        r, fr, out = self._step(
+            self._ring, self._flow_ring, *staged, *self._weight_args
+        )  # warm (the executable already exists if push() ran)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                r, fr, out = self._step(r, fr, *staged, *self._weight_args)
+            np.asarray(jax.tree.leaves(out)[0])
+            best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
+        self._ring, self._flow_ring = r, fr
+        return best
+
     def _ensure_rings(self, h: int, w: int) -> None:
         """Lazy ring allocation from the first pushed frame's geometry
         (shared by push and push_many — the rings must be identical

@@ -393,28 +393,33 @@ class BlockTrainer:
             of_scores=of_sc,
         )
 
-    def _fit_resident(self, state, raw_inputs, of_inputs, rng, log_every: int):
-        """All epochs in one compiled lax.scan over a device-resident
-        cube buffer. Returns (state, raw_dev_u8, of_dev) — the uploaded
-        HBM buffers, so fit_block's score pass can reuse them."""
+    def _epoch_schedule(self, n: int, rng) -> Tuple[np.ndarray, np.ndarray]:
+        """(idx, wmask) (steps, bsz) arrays scheduling cfg.epochs shuffled
+        passes over n cubes, each epoch cyclically padded to a batch
+        multiple with zero-weight slots (pad may exceed n for blocks
+        smaller than a batch — np.resize wraps; same scheme as
+        grid_trainer.fit_blocks)."""
         cfg = self.cfg
         bsz = cfg.batch_size
-        n = raw_inputs.shape[0]
         steps_per_epoch = -(-n // bsz)
         idx_rows, w_rows = [], []
         for _ in range(cfg.epochs):
             order = rng.permutation(n)
             pad = steps_per_epoch * bsz - n
-            # cyclic pad: pad may exceed n for blocks smaller than a batch
-            # (order[:pad] would truncate and break the (-1, bsz) reshape);
-            # padded slots carry zero loss weight so their content is
-            # irrelevant (same scheme as grid_trainer.fit_blocks)
             idx_rows.append(np.concatenate([order, np.resize(order, pad)]))
             w_rows.append(
                 np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
             )
         idx = np.concatenate(idx_rows).reshape(-1, bsz).astype(np.int32)
         wmask = np.concatenate(w_rows).reshape(-1, bsz)
+        return idx, wmask
+
+    def _fit_resident(self, state, raw_inputs, of_inputs, rng, log_every: int):
+        """All epochs in one compiled lax.scan over a device-resident
+        cube buffer. Returns (state, raw_dev_u8, of_dev) — the uploaded
+        HBM buffers, so fit_block's score pass can reuse them."""
+        cfg = self.cfg
+        idx, wmask = self._epoch_schedule(raw_inputs.shape[0], rng)
 
         if raw_inputs.dtype == np.uint8:
             raw_u8 = raw_inputs
@@ -441,6 +446,67 @@ class BlockTrainer:
             for s in range(0, lr.size, max(1, log_every)):
                 print(f"step {s}: raw {lr[s]:.5f} of {lo[s]:.5f}")
         return state, raw_dev, of_dev
+
+    def fit_block_budget(
+        self, raw_inputs, of_inputs=None, seed: int = 0
+    ) -> dict:
+        """Itemized wall budget of one resident fit_block, in seconds —
+        where the non-device time goes (VERDICT r4: fit_block walls 4-5x
+        its ~1.6 s of device work at bench scale and nothing itemized
+        why). Phases, each forced with block_until_ready so the async
+        dispatch can't smear one phase's cost into the next:
+
+          init_state_s       net.init + Adam-state program (per-call!)
+          schedule_host_s    epoch permutations + idx/wmask build (host)
+          upload_s           cube/idx/wmask transfers (0 if already HBM)
+          train_scan_s       the whole-run lax.scan execution
+          score_pass_s       the training-score scan + score download
+          param_download_s   device_get(params + batch_stats)
+
+        Runs each device phase twice and keeps the second (warm) timing,
+        so one-time compiles don't masquerade as per-fit cost. The phases
+        sum to a warm fit_block wall (same code path, same order)."""
+        import time as _time
+
+        out = {}
+        for trial in range(2):
+            t0 = _time.perf_counter()
+            state = self.init_state(seed)
+            jax.block_until_ready((state.params, state.opt_state))
+            out["init_state_s"] = _time.perf_counter() - t0
+
+            rng = np.random.default_rng(seed)
+            t0 = _time.perf_counter()
+            idx, wmask = self._epoch_schedule(raw_inputs.shape[0], rng)
+            out["schedule_host_s"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            of_buf = (
+                of_inputs.astype(np.float32)
+                if (self.cfg.use_flow and of_inputs is not None)
+                else np.zeros((1,) + tuple(raw_inputs.shape[1:-1]) + (
+                    self.net.tot_of_num * self.net.of_channels,), np.float32)
+            )
+            raw_dev = jnp.asarray(raw_inputs)
+            args = (raw_dev, jnp.asarray(of_buf), jnp.asarray(idx),
+                    jnp.asarray(wmask))
+            jax.block_until_ready(args)
+            out["upload_s"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            state, losses = self._train_scan(state, *args)
+            jax.block_until_ready((state.params, losses))
+            out["train_scan_s"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            r, o = self.score_block(state, raw_dev, None)
+            out["score_pass_s"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            jax.device_get((state.params, state.batch_stats))
+            out["param_download_s"] = _time.perf_counter() - t0
+        out["total_s"] = sum(out.values())
+        return out
 
     @staticmethod
     def _as_float_input(xb) -> jnp.ndarray:
