@@ -282,14 +282,33 @@ class BlockTrainer:
         self._score_scan_u8 = make_score_scan(True)
         self._score_scan_f32 = make_score_scan(False)
 
+        # Per-block state init as ONE compiled program. Eager flax init +
+        # optax Adam init launch a small executable per param leaf on
+        # this backend (~100 leaves x ~ms relay dispatch = 1.17 s/block
+        # at flagship scale, 30% of a resident fit_block's wall —
+        # PROFILE.md §7). The seed is a traced argument so one
+        # executable serves every block of a grid.
+        p = self.patch_size
+
+        def init_fn(seed):
+            x = jnp.zeros((1, p, p, net.tot_raw_num * net.raw_channels))
+            x_of = jnp.zeros((1, p, p, net.tot_of_num * net.of_channels))
+            variables = net.init(jax.random.key(seed), x, x_of, False)
+            params = variables["params"]
+            return BlockModelState(
+                params=params,
+                batch_stats=variables["batch_stats"],
+                opt_state=tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        self._init_jit = jax.jit(init_fn)
+        self._pack_out = None  # lazy jitted weight-download packer
+
     # -- state management ---------------------------------------------------
 
     def init_state(self, seed: int) -> BlockModelState:
-        p = self.patch_size
-        x = jnp.zeros((1, p, p, self.net.tot_raw_num * self.net.raw_channels))
-        x_of = jnp.zeros((1, p, p, self.net.tot_of_num * self.net.of_channels))
-        variables = self.net.init(jax.random.key(seed), x, x_of, False)
-        return self.state_from_variables(variables)
+        return self._init_jit(jnp.uint32(seed))
 
     def state_from_variables(self, variables) -> BlockModelState:
         """Fresh optimizer state around given model variables — e.g. weights
@@ -386,12 +405,49 @@ class BlockTrainer:
         # zeros-scored stats pair
         has_of = cfg.use_flow and of_inputs is not None
         of_sc = np.concatenate(of_scores) if has_of else None
+        params_h, stats_h = self._download_weights(state)
         return TrainedBlock(
-            params=jax.device_get(state.params),
-            batch_stats=jax.device_get(state.batch_stats),
+            params=params_h,
+            batch_stats=stats_h,
             raw_scores=raw_sc,
             of_scores=of_sc,
         )
+
+    def _download_weights(self, state: BlockModelState):
+        """(params, batch_stats) as host numpy trees via ONE device round
+        trip: a jitted ravel-concat into a single f32 buffer, one
+        download, host-side numpy unflatten. At flagship scale (92
+        leaves, 43 MB) packed and per-leaf device_get are within tunnel
+        variance of each other (interleaved A/B medians 2.41 vs 2.28 s
+        at a 19 MB/s link window, 0.8 s at 54 MB/s — bandwidth-bound
+        either way, PROFILE.md §7); packed is kept because it bounds
+        the transfer count at one regardless of leaf count, which
+        protects grids with many small blocks from per-leaf RTT.
+        CAUTION for future A/Bs: device_get caches the host copy on
+        the Array — re-downloading the same state measures 0.001 s;
+        use fresh states per trial.
+        Mixed-dtype trees (none today: params and batch stats are f32
+        even under bf16 compute) fall back to device_get."""
+        tree = (state.params, state.batch_stats)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        if not leaves or not all(l.dtype == jnp.float32 for l in leaves):
+            return (
+                jax.device_get(state.params),
+                jax.device_get(state.batch_stats),
+            )
+        if self._pack_out is None:
+            self._pack_out = jax.jit(
+                lambda t: jnp.concatenate(
+                    [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)]
+                )
+            )
+        buf = np.asarray(self._pack_out(tree))
+        out, o = [], 0
+        for l in leaves:
+            sz = int(np.prod(l.shape))
+            out.append(buf[o : o + sz].reshape(l.shape))
+            o += sz
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def _epoch_schedule(self, n: int, rng) -> Tuple[np.ndarray, np.ndarray]:
         """(idx, wmask) (steps, bsz) arrays scheduling cfg.epochs shuffled
@@ -503,7 +559,7 @@ class BlockTrainer:
             out["score_pass_s"] = _time.perf_counter() - t0
 
             t0 = _time.perf_counter()
-            jax.device_get((state.params, state.batch_stats))
+            self._download_weights(state)
             out["param_download_s"] = _time.perf_counter() - t0
         out["total_s"] = sum(out.values())
         return out
