@@ -229,3 +229,77 @@ def test_fit_block_budget_phases(rng):
     state, _, _ = trainer._fit_resident(state, raw, None, rng2, 0)
     r, _ = trainer.score_block(state, raw, None)
     np.testing.assert_allclose(r, blk.raw_scores, rtol=1e-6)
+
+
+def test_init_state_jit_matches_eager(rng):
+    """init_state compiles the flax/optax init into ONE program (the
+    eager path launched ~1 executable per param leaf — 1.17 s/block at
+    flagship scale, PROFILE.md section 7). The compiled init must be
+    bit-identical to eager net.init, and seed must stay a traced arg
+    (two seeds, one executable, different params)."""
+    cfg = CompletionConfig(
+        nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+    )
+    net = make_completion_net(cfg)
+    trainer = BlockTrainer(net, cfg, get_mesh(), patch_size=16)
+
+    state = trainer.init_state(11)
+    x = np.zeros((1, 16, 16, net.tot_raw_num * net.raw_channels), np.float32)
+    x_of = np.zeros((1, 16, 16, net.tot_of_num * net.of_channels), np.float32)
+    eager = net.init(jax.random.key(11), x, x_of, False)
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(eager["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state.batch_stats),
+        jax.tree.leaves(eager["batch_stats"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    other = trainer.init_state(12)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(other.params)
+        )
+        if np.asarray(a).size > 1
+    ]
+    assert max(diffs) > 0.0  # the seed is live, not baked in
+
+
+def test_download_weights_matches_device_get(rng):
+    """The packed single-buffer weight download must reproduce per-leaf
+    device_get bit-exactly (shapes, dtypes, tree structure, values) —
+    it feeds TrainedBlock and every artifact/export path."""
+    cfg = CompletionConfig(
+        nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=False
+    )
+    net = make_completion_net(cfg)
+    trainer = BlockTrainer(net, cfg, get_mesh(), patch_size=16)
+    state = trainer.init_state(3)
+
+    params_p, stats_p = trainer._download_weights(state)
+    params_e = jax.device_get(state.params)
+    stats_e = jax.device_get(state.batch_stats)
+    assert jax.tree_util.tree_structure(
+        params_p
+    ) == jax.tree_util.tree_structure(params_e)
+    for a, b in zip(jax.tree.leaves(params_p), jax.tree.leaves(params_e)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(stats_p), jax.tree.leaves(stats_e)):
+        np.testing.assert_array_equal(a, b)
+
+    # mixed-dtype trees fall back to device_get (packed path is f32-only)
+    mixed = state.replace(
+        params=jax.tree.map(
+            lambda l: l.astype("bfloat16") if l.ndim > 1 else l, state.params
+        )
+    )
+    params_m, _ = trainer._download_weights(mixed)
+    for a, b in zip(
+        jax.tree.leaves(params_m), jax.tree.leaves(mixed.params)
+    ):
+        assert a.dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(a, np.asarray(b))
