@@ -87,6 +87,7 @@ class GridTrainer:
         self.patch_size = patch_size
         self.tx = optax.adam(learning_rate=cfg.learning_rate, eps=cfg.adam_eps)
         self.n_devices = int(np.prod(mesh.devices.shape))
+        self._stacked_init_jit = None  # lazy; one executable per grid width
         self._build()
 
     # -- compiled grid programs ---------------------------------------------
@@ -182,21 +183,35 @@ class GridTrainer:
 
     def _stacked_init(self, g: int, seed: int) -> BlockModelState:
         """G copies of the same fresh init (train_model reuses one seed for
-        every block, trainer.fit_block semantics)."""
+        every block, trainer.fit_block semantics).
+
+        One compiled program per grid width: eager flax init + optax Adam
+        init + the per-leaf broadcast launch ~3 small executables per param
+        leaf on this backend (~300 relay dispatches/grid — same pathology
+        the flagship trainer's init had, PROFILE.md §7). `g` is static (one
+        executable per distinct grid width, cached by jit), the seed is
+        traced (one executable serves every seed)."""
         p = self.patch_size
-        x = jnp.zeros((1, p, p, self.net.tot_raw_num * self.net.raw_channels))
-        x_of = jnp.zeros((1, p, p, self.net.tot_of_num * self.net.of_channels))
-        variables = self.net.init(jax.random.key(seed), x, x_of, False)
-        params = variables["params"]
-        state = BlockModelState(
-            params=params,
-            batch_stats=variables["batch_stats"],
-            opt_state=self.tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
-        return jax.tree.map(
-            lambda v: jnp.broadcast_to(v[None], (g,) + v.shape), state
-        )
+        net, tx = self.net, self.tx
+
+        def init_fn(gg, seed_arr):
+            x = jnp.zeros((1, p, p, net.tot_raw_num * net.raw_channels))
+            x_of = jnp.zeros((1, p, p, net.tot_of_num * net.of_channels))
+            variables = net.init(jax.random.key(seed_arr), x, x_of, False)
+            params = variables["params"]
+            state = BlockModelState(
+                params=params,
+                batch_stats=variables["batch_stats"],
+                opt_state=tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+            return jax.tree.map(
+                lambda v: jnp.broadcast_to(v[None], (gg,) + v.shape), state
+            )
+
+        if self._stacked_init_jit is None:
+            self._stacked_init_jit = jax.jit(init_fn, static_argnums=0)
+        return self._stacked_init_jit(g, jnp.uint32(seed))
 
     @staticmethod
     def _uniform_has_flow(block_data) -> bool:
