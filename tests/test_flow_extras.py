@@ -284,6 +284,28 @@ def test_flying_things_dataset(tmp_path, rng):
     assert len(FlyingThings(str(root), dstype="frames_cleanpass")) == 8
 
 
+def test_flying_things_rejects_cross_misalignment(tmp_path, rng):
+    """A partially extracted tree with DIFFERENT camera dirs missing on
+    each side keeps the global dir counts equal — zip-of-sorted-globs
+    pairing (the reference's scheme) would silently hand sequence A's
+    frames sequence B's ground truth. Key-based pairing must raise."""
+    import shutil
+
+    pytest.importorskip("cv2")
+    from vec_vad_tpu.flow.datasets import FlyingThingsClean
+
+    root = _flying_things_tree(tmp_path, rng, frames=3)
+    # drop A/0000's left IMAGE dir and A/0001's left FLOW dir: 3 dirs on
+    # each side, but only 2 consistent cameras
+    shutil.rmtree(root / "frames_cleanpass" / "TRAIN" / "A" / "0000" / "left")
+    shutil.rmtree(
+        root / "optical_flow_flo_format" / "TRAIN" / "A" / "0001"
+        / "into_future" / "left"
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        FlyingThingsClean(str(root))
+
+
 def test_images_from_folder_dataset(tmp_path, rng):
     """ImagesFromFolder: every consecutive pair of <root>/*.<iext>, zero
     ground-truth flow (datasets.py:398-455 --inference mode)."""

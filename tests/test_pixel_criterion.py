@@ -129,6 +129,26 @@ def test_device_reduction_matches_host_loop():
     np.testing.assert_array_equal(s_host, s_dev)
 
 
+def test_device_reduction_k_rounding_parity():
+    """k must be computed on the HOST in f64 for the device path: f32
+    ceil(coverage*|GT|) disagrees with the host loop's f64 for e.g.
+    coverage=0.3 with |GT| in {50, 90, 100} (0.3*50 = 15.000000000000002
+    in f64 -> k=16, but 15.0 in f32 -> k=15) — a device-side f32 k
+    silently changed the selected element only when the input was big
+    enough to auto-route."""
+    rng = np.random.default_rng(3)
+    h, w = 16, 16
+    sizes = [50, 90, 100, 10, 30, 60, 120, 200]
+    scores = rng.normal(size=(len(sizes), h, w)).astype(np.float32)
+    gt = np.zeros((len(sizes), h, w), bool)
+    for i, sz in enumerate(sizes):
+        gt[i].reshape(-1)[:sz] = True
+    for cov in (0.3, 0.7, 0.1):
+        s_host, _ = pixel_level_scalars(scores, gt, cov, device=False)
+        s_dev, _ = pixel_level_scalars(scores, gt, cov, device=True)
+        np.testing.assert_array_equal(s_host, s_dev)
+
+
 def test_device_reduction_sht_geometry():
     """SHT-geometry masks (480x856) through the device route — the
     auto-router sends real SHT-scale evaluation here; parity checked on a

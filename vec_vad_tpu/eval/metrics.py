@@ -201,13 +201,8 @@ def _pixel_scalars_device(
     import jax.numpy as jnp
 
     @jax.jit
-    def chunk_fn(s, g):
-        cnt = g.sum(axis=-1)
-        lab = cnt > 0
-        k = jnp.where(
-            lab, jnp.ceil(coverage * cnt).astype(jnp.int32), 1
-        )
-        k = jnp.clip(k, 1, jnp.maximum(cnt, 1))
+    def chunk_fn(s, g, k):
+        lab = g.any(axis=-1)
         masked = jnp.where(lab[:, None] & ~g, -jnp.inf, s)
         top = -jnp.sort(-masked, axis=-1)
         return jnp.take_along_axis(
@@ -224,7 +219,17 @@ def _pixel_scalars_device(
             pad = c - s.shape[0]
             s = np.concatenate([s, np.zeros((pad,) + s.shape[1:], s.dtype)])
             g = np.concatenate([g, np.zeros((pad,) + g.shape[1:], bool)])
-        out[lo : lo + c] = np.asarray(chunk_fn(s, g))[: min(c, n - lo)]
+        # k on the HOST in f64 — the host loop computes
+        # ceil(coverage * |GT|) in f64, and f32 ceil disagrees for some
+        # (coverage, |GT|) pairs (e.g. 0.3 * 50: f64 15.000000000000002
+        # -> 16, f32 15.0 -> 15); shipping k keeps the two auto-routed
+        # paths element-exact for EVERY coverage, not just the default
+        cnt = g.sum(axis=-1)
+        k = np.where(
+            cnt > 0, np.ceil(coverage * cnt.astype(np.float64)), 1.0
+        ).astype(np.int32)
+        k = np.clip(k, 1, np.maximum(cnt, 1)).astype(np.int32)
+        out[lo : lo + c] = np.asarray(chunk_fn(s, g, k))[: min(c, n - lo)]
     return out
 
 
@@ -256,7 +261,11 @@ def pixel_level_scalars(
     (_pixel_scalars_device, element-exact vs this loop); below, the host
     np.partition loop wins (no transfer, no compile).
     """
-    score_masks = np.asarray(score_masks, np.float64)
+    # No dtype conversion: both reductions are pure order-based selection
+    # (no arithmetic on scores), and an up-front float64 copy would double
+    # the footprint of an SHT-scale mask stack (~66 GB f32) on the host —
+    # exactly the scale the device route exists for.
+    score_masks = np.asarray(score_masks)
     gt = np.asarray(gt_masks) > 0
     n = score_masks.shape[0]
     if gt.shape[0] != n:

@@ -271,39 +271,59 @@ class FlyingThings(PairFlowDataset):
     Camera dirs <root>/<dstype>/TRAIN/<letter>/<seq>/{left,right} pair
     frame i with i+1; the matching into_future flow lives at
     <root>/optical_flow_flo_format/TRAIN/<letter>/<seq>/into_future/
-    {left,right}/<i>.flo. The reference zips image dirs with flow dirs by
-    sorted order and iterates over len(flows) — each camera's LAST frame
-    has no into_future flow file, so it only ever appears as a pair's
-    second image. Cameras whose flow dir is missing are an inconsistent
-    tree (the reference asserts the dir counts match); we raise the same
-    way via the zip-length check below.
+    {left,right}/<i>.flo. The reference zips image dirs with flow dirs
+    by sorted order — on a partially extracted tree with DIFFERENT dirs
+    missing on each side (equal counts), that silently pairs a camera
+    with another sequence's ground truth. We pair by the
+    <letter>/<seq>/<camera> key instead and raise on any camera dir
+    whose flow dir is absent (the reference's count assertion, made
+    per-camera).
     """
 
     def __init__(self, root: str, dstype: str = "frames_cleanpass", **kw):
-        image_dirs = sorted(
-            d
-            for seq in glob.glob(os.path.join(root, dstype, "TRAIN", "*", "*"))
-            for d in (os.path.join(seq, "left"), os.path.join(seq, "right"))
-            if os.path.isdir(d)
-        )
-        flow_dirs = sorted(
+        pairs = []
+        for seq in sorted(
+            glob.glob(os.path.join(root, dstype, "TRAIN", "*", "*"))
+        ):
+            letter_seq = os.path.join(
+                os.path.basename(os.path.dirname(seq)), os.path.basename(seq)
+            )
+            for cam in ("left", "right"):
+                idir = os.path.join(seq, cam)
+                if not os.path.isdir(idir):
+                    continue
+                fdir = os.path.join(
+                    root, "optical_flow_flo_format", "TRAIN",
+                    letter_seq, "into_future", cam,
+                )
+                if not os.path.isdir(fdir):
+                    raise ValueError(
+                        f"inconsistent FlyingThings tree: camera dir "
+                        f"{idir} has no flow dir {fdir}"
+                    )
+                pairs.append((idir, fdir))
+        # the mirror-image inconsistency: flow camera dirs no image dir
+        # claims (e.g. the requested pass subtree is absent entirely)
+        flow_dirs = {
             d
             for seq in glob.glob(
-                os.path.join(root, "optical_flow_flo_format", "TRAIN", "*", "*")
+                os.path.join(root, "optical_flow_flo_format", "TRAIN",
+                             "*", "*")
             )
             for d in (
                 os.path.join(seq, "into_future", "left"),
                 os.path.join(seq, "into_future", "right"),
             )
             if os.path.isdir(d)
-        )
-        if len(image_dirs) != len(flow_dirs):
+        }
+        orphans = flow_dirs - {f for _, f in pairs}
+        if orphans:
             raise ValueError(
-                f"inconsistent FlyingThings tree: {len(image_dirs)} camera "
-                f"dirs under {dstype} vs {len(flow_dirs)} flow dirs"
+                f"inconsistent FlyingThings tree: {len(orphans)} flow dirs "
+                f"have no {dstype} camera dir (e.g. {sorted(orphans)[0]})"
             )
         triples = []
-        for idir, fdir in zip(image_dirs, flow_dirs):
+        for idir, fdir in pairs:
             images = sorted(glob.glob(os.path.join(idir, "*.png")))
             flows = sorted(glob.glob(os.path.join(fdir, "*.flo")))
             if flows and len(images) < len(flows) + 1:

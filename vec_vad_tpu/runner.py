@@ -383,7 +383,10 @@ def run_calc_flow(
     collectives, outputs identical to single-device) — calc-flow is the
     heaviest offline stage and scales embarrassingly. Single-device runs
     are untouched (no sharding annotations; they cost 10x on a 1-device
-    mesh here)."""
+    mesh here). The mesh rides the device-resident pair scan, so it
+    applies to the segmented path and to whole-split runs with
+    resident=True; a non-resident whole-split run (per-chunk host loop)
+    stays single-device."""
     import jax
     import jax.numpy as jnp
 
@@ -400,7 +403,6 @@ def run_calc_flow(
         from vec_vad_tpu.parallel.mesh import get_mesh
 
         mesh = get_mesh()
-        print(f"calc-flow: data-parallel over {mesh.devices.size} devices")
 
     chunk = chunk if chunk is not None else (
         8 if flow_dtype == "bfloat16" else 4
@@ -431,6 +433,11 @@ def run_calc_flow(
                 max(chunk, int(memory_budget_bytes // (footprint / n)) // 2),
             )
             write = flow_tree_writer(index, of_root, root)
+            if mesh is not None:
+                print(
+                    f"calc-flow: data-parallel over {mesh.devices.size} "
+                    "devices"
+                )
             compute_optical_flow_segmented(
                 net, variables, index, lazy, write,
                 segment_frames=seg, chunk=chunk, compute_dtype=flow_dtype,
@@ -442,6 +449,13 @@ def run_calc_flow(
             )
         else:
             frames = np.asarray(lazy)
+            # the mesh rides the device-resident pair scan only; the
+            # non-resident path is a per-chunk host loop (no shard_map)
+            if mesh is not None and resident:
+                print(
+                    f"calc-flow: data-parallel over {mesh.devices.size} "
+                    "devices"
+                )
             flow = compute_optical_flow(
                 net, variables, index, frames, chunk=chunk,
                 resident=resident, compute_dtype=flow_dtype,

@@ -47,6 +47,34 @@ def _unflatten_f32(buf, shapes, treedef):
     return jax.tree_util.tree_unflatten(treedef, leaves), o
 
 
+def _time_device_chain(call, rings, k: int, repeats: int):
+    """Best-of-`repeats` ms/execution for a donated-ring serving step —
+    the device-twin measurement protocol shared by every scorer's
+    time_device_step/tick. `call(ring, flow_ring) -> (ring, flow_ring,
+    out)` must close over args already staged in HBM; k executions are
+    chained through the donated rings and ONE element of the final out
+    is downloaded per repeat (execution is in-order on the device
+    stream, so forcing the last call bounds all k — and `call` is an
+    already-compiled executable, so partial consumption cannot
+    dead-code anything). A warm call runs first so a cold compile never
+    lands in a timed repeat. Pick k so k*step >= ~300 ms: that keeps
+    the one residual link RTT under a few percent
+    (runtime/layer_profile.py protocol). Returns (best_ms, rings)."""
+    import time as _time
+
+    r, fr = rings
+    r, fr, out = call(r, fr)  # warm
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        for _ in range(k):
+            r, fr, out = call(r, fr)
+        np.asarray(jax.tree.leaves(out)[0])
+        best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
+    return best, (r, fr)
+
+
 def _fleet_arity(n_cameras, mesh) -> Tuple[int, int]:
     """Validated (C, n_shards) for a camera fleet over an optional mesh."""
     C = int(n_cameras)

@@ -15,6 +15,7 @@ from vec_vad_tpu.serve._common import (
     _fleet_arity,
     _predict_window,
     _shard_over_cameras,
+    _time_device_chain,
 )
 from vec_vad_tpu.serve.streaming import StreamingScorer
 
@@ -208,8 +209,6 @@ class MultiCameraScorer(StreamingScorer):
         as StreamingScorer.time_device_step (separates device regressions
         from link weather in bench artifacts); perturbs the rings, so
         start_video() before resuming real scoring."""
-        import time as _time
-
         frames = np.asarray(frames, np.uint8)
         if self.gray_stream and frames.ndim == 4:
             frames = frames[..., 0]
@@ -237,20 +236,12 @@ class MultiCameraScorer(StreamingScorer):
             jax.device_put(a) for a in (frames, flow_in, ctrls, boxes_pad)
         ]
         jax.block_until_ready(staged)
-        r, fr, outs = self._step_tick(
-            self._ring, self._flow_ring, *staged, *self._weight_args
+        best, (self._ring, self._flow_ring) = _time_device_chain(
+            lambda r, fr: self._step_tick(
+                r, fr, *staged, *self._weight_args
+            ),
+            (self._ring, self._flow_ring), k, repeats,
         )
-        jax.block_until_ready(outs)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = _time.perf_counter()
-            for _ in range(k):
-                r, fr, outs = self._step_tick(
-                    r, fr, *staged, *self._weight_args
-                )
-            np.asarray(jax.tree.leaves(outs)[0])
-            best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
-        self._ring, self._flow_ring = r, fr
         return best
 
     def _ensure_rings(self, h: int, w: int) -> None:

@@ -17,6 +17,7 @@ from vec_vad_tpu.serve._common import (
     _pack_f32,
     _predict_window,
     _shard_over_cameras,
+    _time_device_chain,
     _unflatten_f32,
 )
 from vec_vad_tpu.serve.fleet import MultiCameraScorer
@@ -287,8 +288,6 @@ class FlowStreamingScorer(StreamingScorer):
         the fused flow+score step — overridden because step_flow's
         signature carries the flow weights instead of a flow-map input.
         Perturbs the rings; start_video() before resuming."""
-        import time as _time
-
         frame = self._norm_frame(frame)
         boxes_pad, _ = self._pad_boxes(boxes)
         self._ensure_rings(*frame.shape[:2])
@@ -299,21 +298,12 @@ class FlowStreamingScorer(StreamingScorer):
         )
         staged = [jax.device_put(a) for a in (frame, ctrl, boxes_pad)]
         jax.block_until_ready(staged)
-        r, fr, out = self._step_flow(
-            self._ring, self._flow_ring, *staged,
-            self._flow_arg, *self._weight_args,
+        best, (self._ring, self._flow_ring) = _time_device_chain(
+            lambda r, fr: self._step_flow(
+                r, fr, *staged, self._flow_arg, *self._weight_args
+            ),
+            (self._ring, self._flow_ring), k, repeats,
         )
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = _time.perf_counter()
-            for _ in range(k):
-                r, fr, out = self._step_flow(
-                    r, fr, *staged, self._flow_arg, *self._weight_args
-                )
-            np.asarray(jax.tree.leaves(out)[0])
-            best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
-        self._ring, self._flow_ring = r, fr
         return best
 
     def end_video(self) -> Optional[float]:

@@ -19,6 +19,7 @@ from vec_vad_tpu.utils.blocks import calc_block_idx
 
 from vec_vad_tpu.serve._common import (
     _pack_f32,
+    _time_device_chain,
     _predict_window,
     _unflatten_f32,
 )
@@ -470,13 +471,11 @@ class StreamingScorer:
 
         Excludes what link weather owns — host marshaling, the per-frame
         upload, and the per-push result round trip — so a bench artifact
-        can tell a device regression from a bad tunnel day (the honest-
-        measurement protocol of runtime/layer_profile.py applied to the
-        serving step; a k*step wall >= ~300 ms keeps the residual RTT
-        under a few percent). PERTURBS the ring (writes the probe frame
-        k times): call start_video() before resuming real scoring."""
-        import time as _time
-
+        can tell a device regression from a bad tunnel day (the
+        _time_device_chain protocol; a k*step wall >= ~300 ms keeps the
+        residual RTT under a few percent). PERTURBS the ring (writes the
+        probe frame k times): call start_video() before resuming real
+        scoring."""
         frame = np.asarray(frame, np.uint8)
         if self.gray_stream and frame.ndim == 3:
             frame = frame[..., 0]
@@ -501,18 +500,10 @@ class StreamingScorer:
             jax.device_put(a) for a in (frame, flow_in, ctrl, boxes_pad)
         ]
         jax.block_until_ready(staged)
-        r, fr, out = self._step(
-            self._ring, self._flow_ring, *staged, *self._weight_args
-        )  # warm (the executable already exists if push() ran)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = _time.perf_counter()
-            for _ in range(k):
-                r, fr, out = self._step(r, fr, *staged, *self._weight_args)
-            np.asarray(jax.tree.leaves(out)[0])
-            best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
-        self._ring, self._flow_ring = r, fr
+        best, (self._ring, self._flow_ring) = _time_device_chain(
+            lambda r, fr: self._step(r, fr, *staged, *self._weight_args),
+            (self._ring, self._flow_ring), k, repeats,
+        )
         return best
 
     def _ensure_rings(self, h: int, w: int) -> None:

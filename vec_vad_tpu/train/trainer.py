@@ -428,6 +428,8 @@ class BlockTrainer:
         use fresh states per trial.
         Mixed-dtype trees (none today: params and batch stats are f32
         even under bf16 compute) fall back to device_get."""
+        from vec_vad_tpu.serve._common import _pack_f32, _unflatten_f32
+
         tree = (state.params, state.batch_stats)
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         if not leaves or not all(l.dtype == jnp.float32 for l in leaves):
@@ -436,18 +438,13 @@ class BlockTrainer:
                 jax.device_get(state.batch_stats),
             )
         if self._pack_out is None:
-            self._pack_out = jax.jit(
-                lambda t: jnp.concatenate(
-                    [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)]
-                )
-            )
+            # same packing convention as the serving-side weight
+            # marshaling (serve/_common._pack_f32) — one helper, one
+            # layout to keep in sync
+            self._pack_out = jax.jit(lambda t: _pack_f32(t)[0])
         buf = np.asarray(self._pack_out(tree))
-        out, o = [], 0
-        for l in leaves:
-            sz = int(np.prod(l.shape))
-            out.append(buf[o : o + sz].reshape(l.shape))
-            o += sz
-        return jax.tree_util.tree_unflatten(treedef, out)
+        out, _ = _unflatten_f32(buf, [l.shape for l in leaves], treedef)
+        return out
 
     def _epoch_schedule(self, n: int, rng) -> Tuple[np.ndarray, np.ndarray]:
         """(idx, wmask) (steps, bsz) arrays scheduling cfg.epochs shuffled
@@ -514,7 +511,8 @@ class BlockTrainer:
 
           init_state_s       net.init + Adam-state program (per-call!)
           schedule_host_s    epoch permutations + idx/wmask build (host)
-          upload_s           cube/idx/wmask transfers (0 if already HBM)
+          upload_s           host uint8 cast (float cubes only) +
+                             cube/idx/wmask transfers (0 if already HBM)
           train_scan_s       the whole-run lax.scan execution
           score_pass_s       the training-score scan + score download
           param_download_s   device_get(params + batch_stats)
@@ -537,15 +535,26 @@ class BlockTrainer:
             out["schedule_host_s"] = _time.perf_counter() - t0
 
             t0 = _time.perf_counter()
+            # SAME preprocessing as _fit_resident — float cubes cast to
+            # uint8 on the host (a float input fed straight to the scan
+            # would compile a second, /255-twice executable and hide the
+            # cast cost fit_block actually pays)
+            if raw_inputs.dtype == np.uint8:
+                raw_u8 = raw_inputs
+            else:
+                raw_u8 = np.clip(
+                    np.round(raw_inputs * 255.0), 0, 255
+                ).astype(np.uint8)
+            has_of = self.cfg.use_flow and of_inputs is not None
             of_buf = (
                 of_inputs.astype(np.float32)
-                if (self.cfg.use_flow and of_inputs is not None)
+                if has_of
                 else np.zeros((1,) + tuple(raw_inputs.shape[1:-1]) + (
                     self.net.tot_of_num * self.net.of_channels,), np.float32)
             )
-            raw_dev = jnp.asarray(raw_inputs)
-            args = (raw_dev, jnp.asarray(of_buf), jnp.asarray(idx),
-                    jnp.asarray(wmask))
+            raw_dev = jnp.asarray(raw_u8)
+            of_dev = jnp.asarray(of_buf)
+            args = (raw_dev, of_dev, jnp.asarray(idx), jnp.asarray(wmask))
             jax.block_until_ready(args)
             out["upload_s"] = _time.perf_counter() - t0
 
@@ -555,7 +564,9 @@ class BlockTrainer:
             out["train_scan_s"] = _time.perf_counter() - t0
 
             t0 = _time.perf_counter()
-            r, o = self.score_block(state, raw_dev, None)
+            r, o = self.score_block(
+                state, raw_dev, of_dev if has_of else None
+            )
             out["score_pass_s"] = _time.perf_counter() - t0
 
             t0 = _time.perf_counter()
