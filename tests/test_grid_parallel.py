@@ -163,3 +163,43 @@ def test_grid_parallel_two_stream_matches_sequential(grid_world):
         np.testing.assert_allclose(
             a.of_scores, b.of_scores, rtol=2e-3, atol=1e-4
         )
+
+
+def test_grid_stacked_init_matches_trainer_init(grid_world):
+    """_stacked_init is now one jitted program per grid width (the eager
+    path launched ~3 tiny executables per param leaf); it must equal the
+    flagship trainer's jitted init broadcast G times, bit-for-bit, and
+    keep the seed live (traced, not baked into the executable)."""
+    import jax
+
+    from vec_vad_tpu.parallel.mesh import get_mesh
+    from vec_vad_tpu.train.grid_trainer import get_grid_trainer
+    from vec_vad_tpu.train.trainer import BlockTrainer
+
+    _, cfg, *_ = grid_world
+    gt = get_grid_trainer(
+        make_trainer(cfg).net, cfg.model, get_mesh(),
+        patch_size=cfg.fore.patch_size,
+    )
+    bt = BlockTrainer(
+        gt.net, cfg.model, get_mesh(), patch_size=cfg.fore.patch_size
+    )
+    stacked = gt._stacked_init(8, seed=5)
+    single = bt.init_state(5)
+    for a, b in zip(
+        jax.tree.leaves((stacked.params, stacked.batch_stats)),
+        jax.tree.leaves((single.params, single.batch_stats)),
+    ):
+        a = np.asarray(a)
+        assert a.shape[0] == 8
+        np.testing.assert_array_equal(a, np.broadcast_to(b, a.shape))
+
+    other = gt._stacked_init(8, seed=6)
+    diffs = [
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(
+            jax.tree.leaves(stacked.params), jax.tree.leaves(other.params)
+        )
+        if np.asarray(x).size > 8
+    ]
+    assert max(diffs) > 0.0
