@@ -88,6 +88,7 @@ class GridTrainer:
         self.tx = optax.adam(learning_rate=cfg.learning_rate, eps=cfg.adam_eps)
         self.n_devices = int(np.prod(mesh.devices.shape))
         self._stacked_init_jit = None  # lazy; one executable per grid width
+        self._grid_pack_out = None  # lazy jitted weight-download packer
         self._build()
 
     # -- compiled grid programs ---------------------------------------------
@@ -310,21 +311,37 @@ class GridTrainer:
             states, raw_buf, of_buf, counts, g
         )
 
-        host_states = jax.device_get(states)
+        host_params, host_stats = self._download_grid_weights(states)
         out: Dict[BlockKey, TrainedBlock] = {}
         for bi, (key, raw, of) in enumerate(block_data):
             n = counts[bi]
             out[key] = TrainedBlock(
-                params=jax.tree.map(lambda v: v[bi], host_states.params),
-                batch_stats=jax.tree.map(
-                    lambda v: v[bi], host_states.batch_stats
-                ),
+                params=jax.tree.map(lambda v: v[bi], host_params),
+                batch_stats=jax.tree.map(lambda v: v[bi], host_stats),
                 raw_scores=raw_sc[bi, :n],
                 # has_flow, not use_flow: a flow-less fit must mark its
                 # blocks of_stats=None (raw-only fusion), like fit_block
                 of_scores=of_sc[bi, :n] if has_flow else None,
             )
         return out
+
+    def _download_grid_weights(self, states):
+        """(params, batch_stats) of the whole stacked grid to host — as
+        ONE packed f32 buffer, and WITHOUT the Adam state. A plain
+        device_get(states) paid per-leaf transfer round trips (~100
+        leaves) AND shipped opt_state — 2x the param bytes, discarded
+        immediately (TrainedBlock keeps weights + stats only). Mixed
+        dtypes fall back to device_get of just the two needed subtrees."""
+        from vec_vad_tpu.serve._common import _pack_f32, _unflatten_f32
+
+        tree = (states.params, states.batch_stats)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        if not leaves or not all(l.dtype == jnp.float32 for l in leaves):
+            return jax.device_get(tree)
+        if self._grid_pack_out is None:
+            self._grid_pack_out = jax.jit(lambda t: _pack_f32(t)[0])
+        buf = np.asarray(self._grid_pack_out(tree))
+        return _unflatten_f32(buf, [l.shape for l in leaves], treedef)[0]
 
     def _score_stacked(self, states, raw_buf, of_buf, counts, g):
         bsz = self.cfg.batch_size
