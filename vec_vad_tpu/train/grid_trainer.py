@@ -352,8 +352,12 @@ class GridTrainer:
             [np.arange(n_max), np.zeros(n_pad - n_max, np.int64)]
         ).reshape(-1, bsz)
         rows[:] = flat[None]
+        # opt_state dropped (free device-side): scoring ignores it, and
+        # this keeps the executable structure identical to score_blocks'
+        # opt_state=None states — one compiled grid_score serves both
         r, o = self._grid_score(
-            states, jnp.asarray(raw_buf), jnp.asarray(of_buf), jnp.asarray(rows)
+            states.replace(opt_state=None),
+            jnp.asarray(raw_buf), jnp.asarray(of_buf), jnp.asarray(rows)
         )
         return (
             np.asarray(r).reshape(g, -1),
@@ -403,10 +407,14 @@ class GridTrainer:
             if has_flow:
                 of_buf[bi, :n] = of
             b = blocks[key]
+            # opt_state=None: scoring never reads it, a real tx.init here
+            # launched ~1 tiny zeros executable per param leaf PER BLOCK,
+            # and the stacked Adam zeros (2x the param bytes) would ride
+            # the upload only to be ignored
             template = BlockModelState(
                 params=b.params,
                 batch_stats=b.batch_stats,
-                opt_state=self.tx.init(b.params),
+                opt_state=None,
                 step=jnp.zeros((), jnp.int32),
             )
             states.append(template)
