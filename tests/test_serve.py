@@ -887,3 +887,72 @@ def test_time_device_step_probes():
                              k=2, repeats=2)
     assert ms > 0.0
     del blk, te_idx
+
+
+def test_time_device_step_motion_probes():
+    """The motion scorers' device twins are OVERRIDDEN to time the fused
+    step (`_step_m` with the extended [base, mwin(, pair, fwflag)] ctrl)
+    — the inherited twin would silently time the plain score step. Both
+    run, return positive ms, and leave the scorer functional after
+    start_video()."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.models.completion import make_completion_net
+    from vec_vad_tpu.serve import (
+        MotionFlowStreamingScorer,
+        MotionStreamingScorer,
+    )
+
+    ds, cfg, model = _train_tiny(use_flow=False, seed=5)
+
+    scorer = MotionStreamingScorer.from_model(model, spec=SPEC)
+    scorer.start_video()
+    for i in range(4):
+        scorer.push(ds.test_frames[i])
+    ms = scorer.time_device_step(
+        ds.test_frames[0], ds.test_boxes[0], k=2, repeats=2
+    )
+    assert ms > 0.0
+    scorer.end_video()  # the conveyor requires a flush before a new video
+    scorer.start_video()
+    assert scorer.push(ds.test_frames[0]) is None  # conveyor refilling
+
+    class TinyFlow(nn.Module):
+        @nn.compact
+        def __call__(self, pairs, train: bool = False):
+            x = jnp.concatenate([pairs[:, 0], pairs[:, 1]], axis=-1) / 255.0
+            return nn.Conv(2, (3, 3), padding="SAME")(x)
+
+    fnet = TinyFlow()
+    fvars = fnet.init(jax.random.key(0), jnp.zeros((1, 2, 16, 16, 3)))
+    cfg2 = PipelineConfig(
+        dataset_name=cfg.dataset_name, fore=cfg.fore,
+        model=CompletionConfig(
+            nf=4, epochs=1, batch_size=16, context_of_num=0, use_flow=True
+        ),
+    )
+    net2 = make_completion_net(cfg2.model)
+    P = cfg2.fore.patch_size
+    v2 = net2.init(
+        jax.random.key(0),
+        np.zeros((1, P, P, cfg2.model.tot_raw_num * 3), np.float32),
+        np.zeros((1, P, P, cfg2.model.tot_of_num * 2), np.float32),
+        False,
+    )
+    mf = MotionFlowStreamingScorer(
+        cfg2, v2, (100.0, 30.0, 1.0, 1.0), spec=SPEC,
+        flow_net=fnet, flow_variables=fvars, flow_model_hw=(16, 16),
+        net=net2, max_boxes=cfg2.fore.max_boxes_per_frame,
+    )
+    mf.start_video()
+    for i in range(4):
+        mf.push(ds.test_frames[i])
+    ms = mf.time_device_step(
+        ds.test_frames[0], ds.test_boxes[0], k=2, repeats=2
+    )
+    assert ms > 0.0
+    mf.end_video()
+    mf.start_video()
+    assert mf.push(ds.test_frames[0]) is None

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vec_vad_tpu.serve._common import _predict_window
+from vec_vad_tpu.serve._common import _predict_window, _time_device_chain
 from vec_vad_tpu.serve.streaming import StreamingScorer
 
 class MotionStreamingScorer(StreamingScorer):
@@ -196,6 +196,51 @@ class MotionStreamingScorer(StreamingScorer):
     def drain(self) -> List[float]:
         """Alias for the flush; prefer end_video()."""
         return self.end_video()
+
+    def time_device_step(
+        self, frame: np.ndarray, boxes: np.ndarray,
+        k: int = 64, repeats: int = 3,
+    ) -> float:
+        """Device-time twin of the FUSED motion step (ring write +
+        ensemble score + 3-frame motion map + bit-pack) — overridden
+        because push() drives `_step_m` with the extended
+        [base, mwin] ctrl; the inherited twin would time the plain
+        score step and underreport the fused cost. `boxes` plays the
+        scored frame's box list (in production they come from the
+        conveyor's contour stage). Perturbs the rings: start_video()
+        before resuming real scoring."""
+        frame = self._norm_motion_frame(frame)
+        self._ensure_rings(*frame.shape[:2])
+        rlen, orlen = self._rlen, self._of_rlen
+        pos = max(self._n_pushed - self._v0, 3)
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        boxes_pad = np.zeros((self.K, 4), np.float32)
+        boxes_pad[: b.shape[0]] = b
+        slot = (self._v0 + pos) % rlen
+        win = (self._v0 + _predict_window(pos - 2, self.ctx)) % rlen
+        mwin = (self._v0 + np.array([pos - 2, pos - 1, pos])) % rlen
+        if self.use_flow:
+            of_slot = (self._v0 + pos) % orlen
+            owin = (
+                self._v0 + _predict_window(pos - 2, self.ctx_of)
+            ) % orlen
+            flow_in = np.zeros(frame.shape[:2] + (2,), np.float32)
+        else:
+            of_slot = 0
+            owin = np.zeros(self.R_of, np.int64)
+            flow_in = np.zeros((1, 1, 2), np.float32)
+        ctrl = np.concatenate(
+            [[slot, of_slot], win, owin, mwin]
+        ).astype(np.int32)
+        staged = [
+            jax.device_put(a) for a in (frame, flow_in, ctrl, boxes_pad)
+        ]
+        jax.block_until_ready(staged)
+        best, (self._ring, self._flow_ring) = _time_device_chain(
+            lambda r, fr: self._step_m(r, fr, *staged, *self._weight_args),
+            (self._ring, self._flow_ring), k, repeats,
+        )
+        return best
 
     # -- internals ---------------------------------------------------------
 

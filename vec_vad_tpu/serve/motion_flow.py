@@ -13,7 +13,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vec_vad_tpu.serve._common import _pack_f32, _predict_window, _unflatten_f32
+from vec_vad_tpu.serve._common import (
+    _pack_f32,
+    _predict_window,
+    _time_device_chain,
+    _unflatten_f32,
+)
 from vec_vad_tpu.serve.motion import MotionStreamingScorer
 
 class MotionFlowStreamingScorer(MotionStreamingScorer):
@@ -183,6 +188,41 @@ class MotionFlowStreamingScorer(MotionStreamingScorer):
                 return 0, 0
             return scored - 1, scored
         return scored, scored + 1
+
+    def time_device_step(
+        self, frame, boxes, k: int = 16, repeats: int = 3,
+    ) -> float:
+        """Device-time twin of the fully self-contained step (ring write
+        + FlowNet pair forward + ensemble score + motion map) — the ctrl
+        extends the motion layout with [pair_prev, pair_cur, fwflag=1]
+        and the flow weights ride as an explicit argument. Perturbs the
+        rings: start_video() before resuming real scoring."""
+        frame = self._norm_motion_frame(frame)
+        self._ensure_rings(*frame.shape[:2])
+        rlen, orlen = self._rlen, self._of_rlen
+        pos = max(self._n_pushed - self._v0, 3)
+        scored = pos - 2
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        boxes_pad = np.zeros((self.K, 4), np.float32)
+        boxes_pad[: b.shape[0]] = b
+        slot = (self._v0 + pos) % rlen
+        win = (self._v0 + _predict_window(scored, self.ctx)) % rlen
+        owin = (self._v0 + _predict_window(scored, self.ctx_of)) % orlen
+        of_slot = (self._v0 + scored) % orlen
+        mwin = (self._v0 + np.array([pos - 2, pos - 1, pos])) % rlen
+        pair = ((self._v0 + scored) % rlen, (self._v0 + scored + 1) % rlen)
+        ctrl = np.concatenate(
+            [[slot, of_slot], win, owin, mwin, pair, [1]]
+        ).astype(np.int32)
+        staged = [jax.device_put(a) for a in (frame, ctrl, boxes_pad)]
+        jax.block_until_ready(staged)
+        best, (self._ring, self._flow_ring) = _time_device_chain(
+            lambda r, fr: self._step_m(
+                r, fr, *staged, self._flow_arg, *self._weight_args
+            ),
+            (self._ring, self._flow_ring), k, repeats,
+        )
+        return best
 
     def _dispatch(self, frame, flow, pos, scored, mapped, tail_hint,
                   redispatch=False):
