@@ -486,3 +486,39 @@ def test_serve_cli_flow_dtype_plumbing(monkeypatch):
         SimpleNamespace(flow_checkpoint=None, flow_dtype="float32")
     )
     assert kw == {"flow_compute_dtype": jnp.float32}
+
+
+def test_fleet_live_flow_device_tick_twin():
+    """MultiCameraFlowScorer.time_device_tick times the real fleet tick
+    (the inherited single-camera twin is blocked — it would run against
+    the (C, ...) rings) and leaves the fleet functional after the flush
+    + start_video() reset."""
+    import pytest
+
+    from vec_vad_tpu.serve import MultiCameraFlowScorer
+
+    ds, cfg, model, fnet, fvars = _train_two_stream(35, 0)
+    n, feeds = _camera_feeds(ds)
+    fleet = MultiCameraFlowScorer.from_model(
+        model, n_cameras=2, flow_net=fnet, flow_variables=fvars,
+        flow_model_hw=FLOW_HW,
+    )
+    fleet.start_video()
+    for t in range(3):
+        fleet.push_tick(
+            np.stack([feeds[0][0][t], feeds[1][0][t]]),
+            [feeds[0][1][t], feeds[1][1][t]],
+        )
+    ms = fleet.time_device_tick(
+        np.stack([feeds[0][0][0], feeds[1][0][0]]),
+        [feeds[0][1][0], feeds[1][1][0]], k=2, repeats=2,
+    )
+    assert ms > 0.0
+    with pytest.raises(NotImplementedError):
+        fleet.time_device_step(feeds[0][0][0], feeds[0][1][0])
+    fleet.end_video()
+    fleet.start_video()
+    assert fleet.push_tick(
+        np.stack([feeds[0][0][0], feeds[1][0][0]]),
+        [feeds[0][1][0], feeds[1][1][0]],
+    ) is not None  # tick 0 emits immediately

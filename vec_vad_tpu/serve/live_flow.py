@@ -565,6 +565,41 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
             return None
         return self._emit(outs, sb, snb, self._cam_scene.copy())
 
+    def time_device_step(self, *a, **kw):
+        raise NotImplementedError(
+            "MultiCameraFlowScorer times per tick; use time_device_tick "
+            "(the inherited single-camera twin would run against the "
+            "fleet's (C, ...) rings)"
+        )
+
+    def time_device_tick(
+        self, frames, boxes_list, k: int = 8, repeats: int = 3,
+    ) -> float:
+        """Device-time twin of the live-flow fleet tick: ms/tick for the
+        jitted camera-scan step alone (C ring writes + C FlowNet
+        forwards + C ensemble scores), args pre-staged in HBM, k
+        executions chained through the donated rings
+        (serve/_common._time_device_chain protocol, as
+        MultiCameraScorer.time_device_tick). Perturbs the rings:
+        start_video() before resuming real scoring."""
+        frames = self._norm_frames(frames)
+        boxes_pad, _ = self._pad_boxes_tick(boxes_list)
+        self._ensure_rings(*frames.shape[1:3])
+        pos = max(self._tick - self._tick_v0, 2)
+        ctrls = self._fleet_ctrl(
+            pos - 1, self._tick % self._rlen,
+            (self._tick - 1) % self._rlen, 1,
+        )
+        staged = [jax.device_put(a) for a in (frames, ctrls, boxes_pad)]
+        jax.block_until_ready(staged)
+        best, (self._ring, self._flow_ring) = _time_device_chain(
+            lambda r, fr: self._tick_flow(
+                r, fr, *staged, self._flow_arg, *self._weight_args
+            ),
+            (self._ring, self._flow_ring), k, repeats,
+        )
+        return best
+
     def end_video(self) -> Optional[List[float]]:
         """Flush every camera's last frame (see FlowStreamingScorer
         .end_video for the tail pair rule)."""
