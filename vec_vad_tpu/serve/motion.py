@@ -131,6 +131,13 @@ class MotionStreamingScorer(StreamingScorer):
 
     # -- streaming API ----------------------------------------------------
 
+    def push_many(self, *a, **kw):
+        raise NotImplementedError(
+            "MotionStreamingScorer scores through the map conveyor — the "
+            "inherited micro-batched push_many would bypass it (no motion "
+            "maps, box queue desync); push frames one at a time"
+        )
+
     def push(self, frame: np.ndarray, ap_boxes=None,
              flow: Optional[np.ndarray] = None) -> Optional[float]:
         """Feed frame u; returns the score of frame u-3 (None while the
