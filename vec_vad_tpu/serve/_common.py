@@ -47,7 +47,26 @@ def _unflatten_f32(buf, shapes, treedef):
     return jax.tree_util.tree_unflatten(treedef, leaves), o
 
 
-def _time_device_chain(call, rings, k: int, repeats: int):
+def _download_f32_tree(tree, pack_fn=None):
+    """One-buffer host download of an all-f32 pytree (the trainers'
+    weight-download path): per-leaf device_get pays a transfer round
+    trip per leaf on this backend (~100 leaves at flagship scale).
+    Returns (host_tree, pack_fn); thread the returned pack_fn back in to
+    reuse the jitted packer executable across calls. Mixed-dtype trees
+    fall back to jax.device_get (pack_fn returned unchanged)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or not all(l.dtype == jnp.float32 for l in leaves):
+        return jax.device_get(tree), pack_fn
+    if pack_fn is None:
+        pack_fn = jax.jit(lambda t: _pack_f32(t)[0])
+    buf = np.asarray(pack_fn(tree))
+    return (
+        _unflatten_f32(buf, [l.shape for l in leaves], treedef)[0],
+        pack_fn,
+    )
+
+
+def _time_device_chain(call, rings, k: int, repeats: int) -> float:
     """Best-of-`repeats` ms/execution for a donated-ring serving step —
     the device-twin measurement protocol shared by every scorer's
     time_device_step/tick. `call(ring, flow_ring) -> (ring, flow_ring,
@@ -59,10 +78,17 @@ def _time_device_chain(call, rings, k: int, repeats: int):
     dead-code anything). A warm call runs first so a cold compile never
     lands in a timed repeat. Pick k so k*step >= ~300 ms: that keeps
     the one residual link RTT under a few percent
-    (runtime/layer_profile.py protocol). Returns (best_ms, rings)."""
+    (runtime/layer_profile.py protocol).
+
+    The chain runs on device-side COPIES of `rings` (the step donates
+    its ring arguments, which would otherwise consume the caller's
+    buffers): the scorer's serving state is untouched, so a probe can
+    run mid-video and scoring resumes exactly where it left off —
+    essential for the motion conveyor, whose start_video() refuses to
+    run with pending tail state. Returns best_ms."""
     import time as _time
 
-    r, fr = rings
+    r, fr = (jnp.copy(x) for x in rings)
     r, fr, out = call(r, fr)  # warm
     jax.block_until_ready(out)
     best = float("inf")
@@ -72,7 +98,7 @@ def _time_device_chain(call, rings, k: int, repeats: int):
             r, fr, out = call(r, fr)
         np.asarray(jax.tree.leaves(out)[0])
         best = min(best, (_time.perf_counter() - t0) * 1000.0 / k)
-    return best, (r, fr)
+    return best
 
 
 def _fleet_arity(n_cameras, mesh) -> Tuple[int, int]:

@@ -129,6 +129,13 @@ class MultiCameraScorer(StreamingScorer):
 
     push_many = push
 
+    def time_device_step(self, *a, **kw):
+        raise NotImplementedError(
+            "MultiCameraScorer times per tick; use time_device_tick "
+            "(the inherited single-camera twin would run against the "
+            "fleet's (C, ...) rings)"
+        )
+
     # -- the fleet tick -------------------------------------------------
 
     def push_tick(
@@ -207,8 +214,8 @@ class MultiCameraScorer(StreamingScorer):
         step alone — args pre-staged in HBM, k executions chained through
         the donated rings, one final download. Same protocol and purpose
         as StreamingScorer.time_device_step (separates device regressions
-        from link weather in bench artifacts); perturbs the rings, so
-        start_video() before resuming real scoring."""
+        from link weather in bench artifacts). Runs on ring copies —
+        the fleet's serving state is untouched."""
         frames = np.asarray(frames, np.uint8)
         if self.gray_stream and frames.ndim == 4:
             frames = frames[..., 0]
@@ -218,6 +225,8 @@ class MultiCameraScorer(StreamingScorer):
         for c in range(self.C):
             pos = self._tick - self._cam_v0[c]
             b = np.asarray(boxes_list[c], np.float32).reshape(-1, 4)
+            if b.shape[0] > self.K:
+                raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
             boxes_pad[c, : b.shape[0]] = b
             ctrls[c, 0] = self._tick % self.R
             ctrls[c, 2 : 2 + self.R] = (
@@ -236,7 +245,7 @@ class MultiCameraScorer(StreamingScorer):
             jax.device_put(a) for a in (frames, flow_in, ctrls, boxes_pad)
         ]
         jax.block_until_ready(staged)
-        best, (self._ring, self._flow_ring) = _time_device_chain(
+        best = _time_device_chain(
             lambda r, fr: self._step_tick(
                 r, fr, *staged, *self._weight_args
             ),

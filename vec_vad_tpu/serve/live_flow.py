@@ -287,7 +287,7 @@ class FlowStreamingScorer(StreamingScorer):
         chained executions through the donated rings, one download), for
         the fused flow+score step — overridden because step_flow's
         signature carries the flow weights instead of a flow-map input.
-        Perturbs the rings; start_video() before resuming."""
+        Runs on ring copies — serving state is untouched."""
         frame = self._norm_frame(frame)
         boxes_pad, _ = self._pad_boxes(boxes)
         self._ensure_rings(*frame.shape[:2])
@@ -298,7 +298,7 @@ class FlowStreamingScorer(StreamingScorer):
         )
         staged = [jax.device_put(a) for a in (frame, ctrl, boxes_pad)]
         jax.block_until_ready(staged)
-        best, (self._ring, self._flow_ring) = _time_device_chain(
+        best = _time_device_chain(
             lambda r, fr: self._step_flow(
                 r, fr, *staged, self._flow_arg, *self._weight_args
             ),
@@ -580,8 +580,8 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
         forwards + C ensemble scores), args pre-staged in HBM, k
         executions chained through the donated rings
         (serve/_common._time_device_chain protocol, as
-        MultiCameraScorer.time_device_tick). Perturbs the rings:
-        start_video() before resuming real scoring."""
+        MultiCameraScorer.time_device_tick). Runs on ring copies —
+        the fleet's serving state is untouched."""
         frames = self._norm_frames(frames)
         boxes_pad, _ = self._pad_boxes_tick(boxes_list)
         self._ensure_rings(*frames.shape[1:3])
@@ -592,7 +592,7 @@ class MultiCameraFlowScorer(FlowStreamingScorer):
         )
         staged = [jax.device_put(a) for a in (frames, ctrls, boxes_pad)]
         jax.block_until_ready(staged)
-        best, (self._ring, self._flow_ring) = _time_device_chain(
+        best = _time_device_chain(
             lambda r, fr: self._tick_flow(
                 r, fr, *staged, self._flow_arg, *self._weight_args
             ),

@@ -214,13 +214,16 @@ class MotionStreamingScorer(StreamingScorer):
         [base, mwin] ctrl; the inherited twin would time the plain
         score step and underreport the fused cost. `boxes` plays the
         scored frame's box list (in production they come from the
-        conveyor's contour stage). Perturbs the rings: start_video()
-        before resuming real scoring."""
+        conveyor's contour stage). Runs on ring copies — the
+        conveyor's pending state is untouched, so a probe can run
+        mid-video."""
         frame = self._norm_motion_frame(frame)
         self._ensure_rings(*frame.shape[:2])
         rlen, orlen = self._rlen, self._of_rlen
         pos = max(self._n_pushed - self._v0, 3)
         b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if b.shape[0] > self.K:
+            raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
         boxes_pad = np.zeros((self.K, 4), np.float32)
         boxes_pad[: b.shape[0]] = b
         slot = (self._v0 + pos) % rlen
@@ -243,7 +246,7 @@ class MotionStreamingScorer(StreamingScorer):
             jax.device_put(a) for a in (frame, flow_in, ctrl, boxes_pad)
         ]
         jax.block_until_ready(staged)
-        best, (self._ring, self._flow_ring) = _time_device_chain(
+        best = _time_device_chain(
             lambda r, fr: self._step_m(r, fr, *staged, *self._weight_args),
             (self._ring, self._flow_ring), k, repeats,
         )

@@ -195,14 +195,16 @@ class MotionFlowStreamingScorer(MotionStreamingScorer):
         """Device-time twin of the fully self-contained step (ring write
         + FlowNet pair forward + ensemble score + motion map) — the ctrl
         extends the motion layout with [pair_prev, pair_cur, fwflag=1]
-        and the flow weights ride as an explicit argument. Perturbs the
-        rings: start_video() before resuming real scoring."""
+        and the flow weights ride as an explicit argument. Runs on
+        ring copies — the conveyor's pending state is untouched."""
         frame = self._norm_motion_frame(frame)
         self._ensure_rings(*frame.shape[:2])
         rlen, orlen = self._rlen, self._of_rlen
         pos = max(self._n_pushed - self._v0, 3)
         scored = pos - 2
         b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if b.shape[0] > self.K:
+            raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
         boxes_pad = np.zeros((self.K, 4), np.float32)
         boxes_pad[: b.shape[0]] = b
         slot = (self._v0 + pos) % rlen
@@ -216,7 +218,7 @@ class MotionFlowStreamingScorer(MotionStreamingScorer):
         ).astype(np.int32)
         staged = [jax.device_put(a) for a in (frame, ctrl, boxes_pad)]
         jax.block_until_ready(staged)
-        best, (self._ring, self._flow_ring) = _time_device_chain(
+        best = _time_device_chain(
             lambda r, fr: self._step_m(
                 r, fr, *staged, self._flow_arg, *self._weight_args
             ),

@@ -473,15 +473,16 @@ class StreamingScorer:
         upload, and the per-push result round trip — so a bench artifact
         can tell a device regression from a bad tunnel day (the
         _time_device_chain protocol; a k*step wall >= ~300 ms keeps the
-        residual RTT under a few percent). PERTURBS the ring (writes the
-        probe frame k times): call start_video() before resuming real
-        scoring."""
+        residual RTT under a few percent). Runs on ring copies — the
+        scorer's serving state is untouched."""
         frame = np.asarray(frame, np.uint8)
         if self.gray_stream and frame.ndim == 3:
             frame = frame[..., 0]
         self._ensure_rings(*frame.shape[:2])
         pos = self._n_pushed - self._v0
         b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if b.shape[0] > self.K:
+            raise ValueError(f"{b.shape[0]} boxes > max_boxes={self.K}")
         boxes_pad = np.zeros((self.K, 4), np.float32)
         boxes_pad[: b.shape[0]] = b
         win = (self._v0 + _predict_window(pos, self.ctx)) % self.R
@@ -500,7 +501,7 @@ class StreamingScorer:
             jax.device_put(a) for a in (frame, flow_in, ctrl, boxes_pad)
         ]
         jax.block_until_ready(staged)
-        best, (self._ring, self._flow_ring) = _time_device_chain(
+        best = _time_device_chain(
             lambda r, fr: self._step(r, fr, *staged, *self._weight_args),
             (self._ring, self._flow_ring), k, repeats,
         )

@@ -332,16 +332,12 @@ class GridTrainer:
         leaves) AND shipped opt_state — 2x the param bytes, discarded
         immediately (TrainedBlock keeps weights + stats only). Mixed
         dtypes fall back to device_get of just the two needed subtrees."""
-        from vec_vad_tpu.serve._common import _pack_f32, _unflatten_f32
+        from vec_vad_tpu.serve._common import _download_f32_tree
 
-        tree = (states.params, states.batch_stats)
-        leaves, treedef = jax.tree_util.tree_flatten(tree)
-        if not leaves or not all(l.dtype == jnp.float32 for l in leaves):
-            return jax.device_get(tree)
-        if self._grid_pack_out is None:
-            self._grid_pack_out = jax.jit(lambda t: _pack_f32(t)[0])
-        buf = np.asarray(self._grid_pack_out(tree))
-        return _unflatten_f32(buf, [l.shape for l in leaves], treedef)[0]
+        out, self._grid_pack_out = _download_f32_tree(
+            (states.params, states.batch_stats), self._grid_pack_out
+        )
+        return out
 
     def _score_stacked(self, states, raw_buf, of_buf, counts, g):
         bsz = self.cfg.batch_size

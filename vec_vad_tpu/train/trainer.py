@@ -428,22 +428,11 @@ class BlockTrainer:
         use fresh states per trial.
         Mixed-dtype trees (none today: params and batch stats are f32
         even under bf16 compute) fall back to device_get."""
-        from vec_vad_tpu.serve._common import _pack_f32, _unflatten_f32
+        from vec_vad_tpu.serve._common import _download_f32_tree
 
-        tree = (state.params, state.batch_stats)
-        leaves, treedef = jax.tree_util.tree_flatten(tree)
-        if not leaves or not all(l.dtype == jnp.float32 for l in leaves):
-            return (
-                jax.device_get(state.params),
-                jax.device_get(state.batch_stats),
-            )
-        if self._pack_out is None:
-            # same packing convention as the serving-side weight
-            # marshaling (serve/_common._pack_f32) — one helper, one
-            # layout to keep in sync
-            self._pack_out = jax.jit(lambda t: _pack_f32(t)[0])
-        buf = np.asarray(self._pack_out(tree))
-        out, _ = _unflatten_f32(buf, [l.shape for l in leaves], treedef)
+        out, self._pack_out = _download_f32_tree(
+            (state.params, state.batch_stats), self._pack_out
+        )
         return out
 
     def _epoch_schedule(self, n: int, rng) -> Tuple[np.ndarray, np.ndarray]:
