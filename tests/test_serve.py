@@ -956,3 +956,41 @@ def test_time_device_step_motion_probes():
     mf.end_video()
     mf.start_video()
     assert mf.push(ds.test_frames[0]) is None
+
+
+def test_download_f32_tree_roundtrip_and_fallback():
+    """The trainers' one-buffer weight download (serve/_common
+    ._download_f32_tree): bit-exact vs per-leaf device_get, reuses the
+    threaded-back jitted packer, and falls back (pack_fn untouched) on
+    mixed-dtype or empty trees."""
+    import jax
+    import jax.numpy as jnp
+
+    from vec_vad_tpu.serve._common import _download_f32_tree
+
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "b": (jnp.ones((4,), jnp.float32), jnp.full((1, 2), 7.5)),
+    }
+    host, pack_fn = _download_f32_tree(tree)
+    ref = jax.device_get(tree)
+    assert pack_fn is not None
+    for got, want in zip(jax.tree.leaves(host), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    # threading the packer back reuses the same executable (same object)
+    host2, pack_fn2 = _download_f32_tree(tree, pack_fn)
+    assert pack_fn2 is pack_fn
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(host2)[0]), ref["a"]
+    )
+
+    # mixed dtype: device_get fallback, pack_fn passes through unchanged
+    mixed = {"w": jnp.ones((2,), jnp.float32), "n": jnp.zeros((2,), jnp.int32)}
+    hostm, pfm = _download_f32_tree(mixed, pack_fn)
+    assert pfm is pack_fn
+    assert hostm["n"].dtype == np.int32
+
+    # empty tree: no leaves to pack
+    hoste, pfe = _download_f32_tree({}, None)
+    assert hoste == {} and pfe is None
