@@ -20,22 +20,34 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
-_NATIVE_DIR = os.path.join(
+_REPO_NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
 )
-_SO_PATH = os.path.join(_NATIVE_DIR, "libvadio.so")
+
+
+def native_dir() -> str:
+    """Directory holding vadio.cpp/Makefile/libvadio.so.
+
+    VEC_VAD_NATIVE_DIR overrides the repo-layout default (../../native
+    relative to the package) — needed when the package is installed into
+    site-packages rather than run from a checkout (pyproject.toml)."""
+    return os.environ.get("VEC_VAD_NATIVE_DIR", _REPO_NATIVE_DIR)
+
+
+def _so_path() -> str:
+    return os.path.join(native_dir(), "libvadio.so")
 
 
 def build_native(force: bool = False) -> bool:
     """Compile libvadio.so via the Makefile; returns success."""
-    if os.path.exists(_SO_PATH) and not force:
+    if os.path.exists(_so_path()) and not force:
         return True
     try:
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            ["make", "-C", native_dir()], check=True, capture_output=True
         )
-        return os.path.exists(_SO_PATH)
+        return os.path.exists(_so_path())
     except Exception:
         return False
 
@@ -44,10 +56,10 @@ def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO_PATH):
+    if not os.path.exists(_so_path()):
         if not (auto_build and build_native()):
             return None
-    lib = ctypes.CDLL(_SO_PATH)
+    lib = ctypes.CDLL(_so_path())
     lib.vadio_decode.restype = ctypes.c_int
     lib.vadio_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
