@@ -374,6 +374,84 @@ def cmd_demo(args) -> int:
     return demo.main()
 
 
+def cmd_visualize(args) -> int:
+    """Render persisted artifacts to images: per-frame anomaly-score masks
+    (grayscale + optional frame overlay) and optical-flow color wheels.
+
+    The reference ships this workflow as commented-out calls
+    (test.py:321-328 `visualize_score`/`visualize_pair_map`, flowlib's
+    `show_flow`) over its torch-saved score_mask/<idx> files; here the
+    artifacts are `test --save-masks`'s score_masks.npy and `calc-flow`'s
+    .npy/.flo trees, and the renderer is a first-class subcommand."""
+    import glob as _glob
+
+    import cv2
+    import numpy as np
+
+    from vec_vad_tpu.utils.flowviz import flow_to_image, read_flo
+    from vec_vad_tpu.utils.visualize import score_mask_overlay, visualize_score
+
+    if not (args.masks or args.flow_dir):
+        print("nothing to do: pass --masks and/or --flow-dir", file=sys.stderr)
+        return 2
+    os.makedirs(args.out, exist_ok=True)
+    wrote = 0
+    if args.masks:
+        masks = np.load(args.masks)
+        if masks.ndim != 3:
+            raise ValueError(
+                f"--masks expects (N, H, W) score_masks.npy, got {masks.shape}"
+            )
+        frames = []
+        if args.frames_root:
+            pats = ("*.jpg", "*.jpeg", "*.png", "*.bmp", "*.tif", "*.tiff")
+            for pat in pats:
+                frames += _glob.glob(
+                    os.path.join(args.frames_root, "**", pat), recursive=True
+                )
+            frames.sort()
+            if not frames:
+                raise FileNotFoundError(
+                    f"--frames-root {args.frames_root}: no images found"
+                )
+        n = masks.shape[0] if args.limit is None else min(
+            masks.shape[0], args.limit
+        )
+        for i in range(n):
+            cv2.imwrite(
+                os.path.join(args.out, f"score_{i:06d}.png"),
+                visualize_score(masks[i]),
+            )
+            wrote += 1
+            if frames and i < len(frames):
+                frame = cv2.imread(frames[i], cv2.IMREAD_COLOR)
+                cv2.imwrite(
+                    os.path.join(args.out, f"overlay_{i:06d}.png"),
+                    score_mask_overlay(frame, masks[i], alpha=args.alpha),
+                )
+                wrote += 1
+    if args.flow_dir:
+        paths = sorted(
+            _glob.glob(os.path.join(args.flow_dir, "**", "*.npy"), recursive=True)
+            + _glob.glob(os.path.join(args.flow_dir, "**", "*.flo"), recursive=True)
+        )
+        if args.limit is not None:
+            paths = paths[: args.limit]
+        if not paths:
+            raise FileNotFoundError(f"--flow-dir {args.flow_dir}: no .npy/.flo")
+        for p in paths:
+            flow = read_flo(p) if p.endswith(".flo") else np.load(p)
+            rel = os.path.relpath(p, args.flow_dir)
+            out = os.path.join(
+                args.out, "flow_" + rel.replace(os.sep, "_") + ".png"
+            )
+            # flow_to_image returns RGB (flowlib convention); cv2 writes BGR
+            cv2.imwrite(out, flow_to_image(flow)[:, :, ::-1])
+            wrote += 1
+    print(f"wrote {wrote} image(s) -> {args.out}")
+    return 0
+
+
 def cmd_calc_flow(args) -> int:
     from vec_vad_tpu.runner import run_calc_flow
 
@@ -718,6 +796,33 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("demo", help="end-to-end demo on a synthetic dataset")
     p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser(
+        "visualize",
+        help="render score masks / flow maps to images "
+        "(test --save-masks + calc-flow artifacts)",
+    )
+    p.add_argument(
+        "--masks", default=None,
+        help="score_masks.npy from `test --save-masks` -> per-frame "
+        "grayscale score_%%06d.png",
+    )
+    p.add_argument(
+        "--frames-root", default=None,
+        help="image tree matched 1:1 (sorted) with --masks frames -> "
+        "JET overlay_%%06d.png",
+    )
+    p.add_argument(
+        "--flow-dir", default=None,
+        help="tree of .npy/.flo flow maps -> Middlebury color-wheel pngs",
+    )
+    p.add_argument("--out", required=True, help="output image directory")
+    p.add_argument("--limit", type=int, default=None, help="cap frames/maps")
+    p.add_argument(
+        "--alpha", type=float, default=0.5,
+        help="overlay heatmap opacity on scored pixels",
+    )
+    p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("calc-flow", help="precompute FlowNet2 optical flow")
     _add_common(p)

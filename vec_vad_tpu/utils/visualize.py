@@ -17,8 +17,10 @@ def visualize_score(score_mask: np.ndarray, big_number: float = 1e5) -> np.ndarr
     to 0 (visualization_helper.py:6-19)."""
     m = np.asarray(score_mask, dtype=np.float64)
     m = np.where(m <= -big_number, np.nan, m)
-    lo = np.nanmin(m) if np.isfinite(np.nanmin(m)) else 0.0
-    hi = np.nanmax(m) if np.isfinite(np.nanmax(m)) else 1.0
+    if np.isnan(m).all():  # no cube covered any pixel: render black
+        return np.zeros(m.shape, np.uint8)
+    lo = float(np.nanmin(m))
+    hi = float(np.nanmax(m))
     rng = hi - lo if hi > lo else 1.0
     out = (m - lo) / rng * 255.0
     return np.nan_to_num(out, nan=0.0).astype(np.uint8)
@@ -65,3 +67,47 @@ def visualize_pair_map(
         np.stack([error_heatmap(a, b) for a, b in zip(batch_1, batch_2)]), cols
     )
     return t1, t2, heat
+
+
+def score_mask_overlay(
+    frame: np.ndarray,
+    score_mask: np.ndarray,
+    big_number: float = 1e5,
+    alpha: float = 0.5,
+) -> np.ndarray:
+    """Blend a JET heatmap of the anomaly-score mask onto the frame.
+
+    Pixels at the -big_number floor (no cube covered them —
+    test.py:350-357's mask init) keep the original frame; scored pixels
+    get `alpha` of the colormapped score. The anomaly-overlay view the
+    reference produces by hand from its persisted score_mask/<idx> files
+    (visualize_score at helper/visualization_helper.py:6-19). Frame may
+    be grayscale or BGR, any HxW — the mask is resized to match."""
+    import cv2
+
+    frame = np.asarray(frame)
+    if frame.ndim == 2:
+        frame = np.repeat(frame[:, :, None], 3, axis=2)
+    frame = _to_u8(frame)
+    m = np.asarray(score_mask, dtype=np.float64)
+    covered = m > -big_number
+    heat = cv2.applyColorMap(
+        visualize_score(score_mask, big_number), cv2.COLORMAP_JET
+    )
+    if heat.shape[:2] != frame.shape[:2]:
+        heat = cv2.resize(
+            heat, (frame.shape[1], frame.shape[0]),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        covered = (
+            cv2.resize(
+                covered.astype(np.uint8),
+                (frame.shape[1], frame.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            > 0
+        )
+    out = frame.copy()
+    blend = cv2.addWeighted(frame, 1.0 - alpha, heat, alpha, 0.0)
+    out[covered] = blend[covered]
+    return out
