@@ -368,6 +368,14 @@ def cmd_demo(args) -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "examples", "synthetic_e2e.py",
     )
+    if not os.path.exists(path):
+        # site-packages install: examples/ ships with the checkout
+        print(
+            "examples/synthetic_e2e.py not found next to the package — "
+            "run `vec-vad demo` from a source checkout (pip install -e .)",
+            file=sys.stderr,
+        )
+        return 2
     spec = importlib.util.spec_from_file_location("synthetic_e2e", path)
     demo = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(demo)
@@ -706,7 +714,17 @@ def cmd_extract_frames(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(root, "bench.py")):
+        # site-packages install: the benchmark harness ships with the
+        # checkout (repo root), not the wheel
+        print(
+            "bench.py not found next to the package — run `vec-vad bench` "
+            "from a source checkout (pip install -e .)",
+            file=sys.stderr,
+        )
+        return 2
+    sys.path.insert(0, root)
     import bench
 
     bench.main()
