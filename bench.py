@@ -439,7 +439,7 @@ def main() -> None:
     np.asarray(frames_dev[0, 0, 0, 0])  # force the upload to finish
     kwargs = dict(
         cfg=cfg, variables=variables, stats=stats, frames=frames_dev,
-        windows=windows, boxes_pad=boxes_pad, valid=valid, chunk=128,
+        windows=windows, boxes_pad=boxes_pad, valid=valid, chunk=256,
         net=net,
     )
     infer_frame_scores_resident(**kwargs)  # warmup (compile)

@@ -88,13 +88,20 @@ def infer_frame_scores_resident(
     valid: np.ndarray,
     flow: Optional[np.ndarray] = None,
     of_windows: Optional[np.ndarray] = None,
-    chunk: int = 32,
+    chunk: int = 128,
     cube_batch: int = 2048,
     net: Optional[SelfCompletionNet] = None,
     compute_dtype=jnp.float32,
     big_number: float = BIG_NUMBER,
 ) -> np.ndarray:
     """Whole-split scoring in three device calls (HBM-resident design).
+
+    chunk/cube_batch defaults come from a hardware sweep at ped2 bench
+    scale (PROFILE.md §9): phase-A throughput rises with chunk up to
+    ~256-512 (chunk=1024 crashes the TPU compiler's VMEM budget) and
+    cube_batch=2048 beats both 1024 and 4096; 128 stays within ~4% of
+    the peak while keeping clear of the compile cliff at bigger frame
+    geometries.
 
     The chunked path (`infer_frame_scores`) pays a host<->device round trip
     per chunk — expensive on remote/tunneled accelerators. Here:
@@ -190,7 +197,7 @@ def infer_frame_scores_segmented(
     flow=None,
     of_windows: Optional[np.ndarray] = None,
     segment_frames: int = 4096,
-    chunk: int = 32,
+    chunk: int = 128,
     cube_batch: int = 2048,
     net: Optional[SelfCompletionNet] = None,
     compute_dtype=jnp.float32,
