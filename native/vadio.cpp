@@ -4,8 +4,9 @@
 // cv2.imread inside Dataset.__getitem__ (vad_datasets.py:18-25,356-402) —
 // the #1 host bottleneck feeding the accelerator. This library provides:
 //
-//   * decode-to-preallocated-buffer JPEG/PNG decoding (BGR uint8, matching
-//     cv2.imread's channel convention) with zero Python-side allocation,
+//   * decode-to-preallocated-buffer JPEG/PNG/TIFF decoding (BGR uint8,
+//     matching cv2.imread's channel convention — TIFF covers UCSDped2's
+//     .tif frames) with zero Python-side allocation,
 //   * a std::thread pool that decodes a batch of files in parallel into one
 //     contiguous (N, H, W, 3) buffer, and
 //   * a background prefetcher that pipelines chunk N+1's disk+decode work
@@ -13,7 +14,7 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 //
-// Build: make -C native   (g++ -O3 -shared -fPIC vadio.cpp -ljpeg -lpng)
+// Build: make -C native   (g++ -O3 -shared -fPIC vadio.cpp -ljpeg -lpng -ltiff)
 
 #include <atomic>
 #include <condition_variable>
@@ -28,9 +29,17 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <tiffio.h>
 #include <csetjmp>
 
 namespace {
+
+// libtiff reports recoverable oddities (unknown tags etc.) to stderr by
+// default — spam on threaded batch decode; errors still surface as rc
+const bool tiff_quiet = [] {
+  TIFFSetWarningHandler(nullptr);
+  return true;
+}();
 
 // ---------------------------------------------------------------------------
 // Decoders: file -> BGR uint8 into caller buffer (h*w*3). Returns 0 on
@@ -136,6 +145,39 @@ int decode_png_file(const char* path, uint8_t* out, int h, int w) {
   return 0;
 }
 
+int decode_tiff_file(const char* path, uint8_t* out, int h, int w) {
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return -1;
+  uint32_t width = 0, height = 0;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &width);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &height);
+  if ((int)height != h || (int)width != w) {
+    TIFFClose(tif);
+    return -2;
+  }
+  // RGBA raster path: libtiff normalizes every photometric layout
+  // (grayscale expands to R=G=B, like cv2.imread's IMREAD_COLOR on the
+  // UCSDped2 .tif frames); TOPLEFT orientation = top-down rows
+  std::vector<uint32_t> raster((size_t)w * h);
+  if (!TIFFReadRGBAImageOriented(tif, width, height, raster.data(),
+                                 ORIENTATION_TOPLEFT, 0)) {
+    TIFFClose(tif);
+    return -3;
+  }
+  TIFFClose(tif);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* dst = out + (size_t)y * w * 3;
+    const uint32_t* src = raster.data() + (size_t)y * w;
+    for (int x = 0; x < w; ++x) {  // ABGR word -> BGR bytes (cv2 convention)
+      uint32_t px = src[x];
+      dst[x * 3 + 0] = TIFFGetB(px);
+      dst[x * 3 + 1] = TIFFGetG(px);
+      dst[x * 3 + 2] = TIFFGetR(px);
+    }
+  }
+  return 0;
+}
+
 int decode_file(const char* path, uint8_t* out, int h, int w) {
   const char* dot = strrchr(path, '.');
   if (!dot) return -4;
@@ -143,7 +185,8 @@ int decode_file(const char* path, uint8_t* out, int h, int w) {
   for (auto& c : ext) c = tolower(c);
   if (ext == "jpg" || ext == "jpeg") return decode_jpeg_file(path, out, h, w);
   if (ext == "png") return decode_png_file(path, out, h, w);
-  return -4;  // unsupported (e.g. .tif) — Python falls back to cv2
+  if (ext == "tif" || ext == "tiff") return decode_tiff_file(path, out, h, w);
+  return -4;  // unsupported extension — Python falls back to cv2
 }
 
 // ---------------------------------------------------------------------------

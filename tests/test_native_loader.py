@@ -55,6 +55,26 @@ def test_png_decode_matches_cv2(tmp_path):
     np.testing.assert_array_equal(out, np.stack([cv2.imread(p) for p in paths]))
 
 
+def test_tiff_decode_matches_cv2(tmp_path):
+    """UCSDped2 ships grayscale .tif frames (frame_size table,
+    vad_datasets.py:16) — the flagship dataset must hit the native path.
+    Gray expands to replicated BGR exactly like cv2.imread IMREAD_COLOR."""
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(4):  # grayscale, like the real dataset
+        img = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+        p = str(tmp_path / f"g{i}.tif")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    for i in range(2):  # color tiffs too
+        img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        p = str(tmp_path / f"c{i}.tiff")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    out = NativePool(2).decode_batch(paths, 40, 50)
+    np.testing.assert_array_equal(out, np.stack([cv2.imread(p) for p in paths]))
+
+
 def test_prefetcher_streams_all(jpg_tree):
     pf = NativePrefetcher(jpg_tree, chunk=10, h=60, w=80, n_threads=2)
     chunks = list(pf)
@@ -76,13 +96,19 @@ def test_frame_stack_and_fallback(jpg_tree, tmp_path):
     np.testing.assert_array_equal(fs[np.array([[0, 1], [2, 3]])],
                                   ref[np.array([[0, 1], [2, 3]])])
 
-    # .tif is unsupported natively -> cv2 fallback
+    # .tif is native since round 5 (UCSDped2's own format)
     tif = str(tmp_path / "x.tif")
     cv2.imwrite(tif, ref[0])
-    assert not native_supported(tif)
+    assert native_supported(tif)
     idx2 = VideoIndex(["v"], np.array([1]), [tif])
-    fs2 = make_frame_stack(idx2)
-    assert isinstance(fs2, LazyFrameStack)
+    assert isinstance(make_frame_stack(idx2), NativeFrameStack)
+
+    # a genuinely unsupported extension -> cv2 fallback
+    bmp = str(tmp_path / "x.bmp")
+    cv2.imwrite(bmp, ref[0])
+    assert not native_supported(bmp)
+    idx3 = VideoIndex(["v"], np.array([1]), [bmp])
+    assert isinstance(make_frame_stack(idx3), LazyFrameStack)
 
 
 def test_decode_error_reporting(jpg_tree):

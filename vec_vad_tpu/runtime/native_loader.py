@@ -7,7 +7,7 @@ chunk's device compute — replacing the reference's per-frame cv2.imread
 hot path (vad_datasets.py:18-25,356-402).
 
 Falls back transparently to the cv2 path when the shared library is not
-built or the format is unsupported (.tif).
+built or the format is unsupported (jpeg/png/tiff are native).
 """
 
 from __future__ import annotations
@@ -90,7 +90,7 @@ def _paths_array(paths: Sequence[str]):
     return arr
 
 
-_SUPPORTED = (".jpg", ".jpeg", ".png")
+_SUPPORTED = (".jpg", ".jpeg", ".png", ".tif", ".tiff")
 
 
 def native_supported(path: str) -> bool:
